@@ -1,0 +1,551 @@
+// tokengeex_tpu native host runtime.
+//
+// C++ implementation of the host-side hot paths with semantics identical
+// to the Python oracle (tokengeex_tpu/models/oracle.py), which in turn
+// mirrors the reference Rust implementation:
+//   - Viterbi encode: reference src/model.rs:59-129 (strict-greater
+//     relaxation, ascending start pos then ascending token length).
+//   - Lattice forward-backward marginals: reference src/lattice.rs:245-312
+//     (pairwise log_sum_exp in node order, 50-nat cutoff).
+//   - nbest(2) alternatives for pruning: reference src/prune.rs:179-203.
+//   - Pair counting for BPE merge: reference src/merge.rs:53-76.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Threading: std::thread pool over sample chunks, mirroring the
+// reference's rayon par_chunks parallelism (reference: src/task.rs:134-137).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <queue>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Double-array-ish byte trie (flat nodes, 256-way sparse children maps).
+// ---------------------------------------------------------------------------
+
+struct TrieNode {
+  int32_t token_id = -1;   // -1: no token ends here
+  int32_t token_len = 0;
+  // Sorted (byte, child) pairs; small vocabularies have tiny fanout.
+  std::vector<std::pair<uint8_t, int32_t>> children;
+
+  int32_t find(uint8_t b) const {
+    // Linear scan is faster than binary search for the typical fanout.
+    for (const auto& kv : children)
+      if (kv.first == b) return kv.second;
+    return -1;
+  }
+};
+
+struct Model {
+  std::vector<TrieNode> nodes;
+  std::vector<double> scores;
+  std::vector<std::vector<uint8_t>> tokens;
+  int max_token_len = 1;
+
+  void build(const uint8_t* data, const int64_t* offsets,
+             const double* score_arr, int64_t vocab_size) {
+    nodes.clear();
+    nodes.emplace_back();  // root
+    scores.assign(score_arr, score_arr + vocab_size);
+    tokens.resize(vocab_size);
+    max_token_len = 1;
+    for (int64_t id = 0; id < vocab_size; ++id) {
+      const uint8_t* begin = data + offsets[id];
+      int len = static_cast<int>(offsets[id + 1] - offsets[id]);
+      tokens[id].assign(begin, begin + len);
+      max_token_len = std::max(max_token_len, len);
+      int32_t cur = 0;
+      for (int i = 0; i < len; ++i) {
+        int32_t next = nodes[cur].find(begin[i]);
+        if (next < 0) {
+          next = static_cast<int32_t>(nodes.size());
+          nodes[cur].children.emplace_back(begin[i], next);
+          nodes.emplace_back();
+        }
+        cur = next;
+      }
+      // Later ids overwrite (reference: src/model.rs:20-23).
+      nodes[cur].token_id = static_cast<int32_t>(id);
+      nodes[cur].token_len = len;
+    }
+  }
+};
+
+double log_sum_exp(double x, double y, bool init_mode) {
+  // reference: src/lattice.rs:321-333
+  if (init_mode) return y;
+  double vmin = x, vmax = y;
+  if (x > y) { vmin = y; vmax = x; }
+  constexpr double kMinusLogEpsilon = 50.0;
+  if (vmax > vmin + kMinusLogEpsilon) return vmax;
+  return vmax + std::log(std::exp(vmin - vmax) + 1.0);
+}
+
+// ---------------------------------------------------------------------------
+// Viterbi encode (reference: src/model.rs:59-129)
+// ---------------------------------------------------------------------------
+
+// Returns number of ids, or -1 on NoPath. Appends ids to out.
+int64_t viterbi_encode(const Model& m, const uint8_t* input, int64_t n,
+                       std::vector<int32_t>& out) {
+  struct Cell {
+    int32_t id;
+    double score;
+    int64_t start;  // -1: unreachable
+  };
+  thread_local std::vector<Cell> dp;
+  dp.assign(n + 1, Cell{0, 0.0, -1});
+  dp[0].start = 0;
+
+  for (int64_t pos = 0; pos < n; ++pos) {
+    if (dp[pos].start < 0) continue;
+    double base = dp[pos].score;
+    int32_t cur = 0;
+    int64_t limit = std::min<int64_t>(n - pos, m.max_token_len);
+    for (int64_t i = 0; i < limit; ++i) {
+      cur = m.nodes[cur].find(input[pos + i]);
+      if (cur < 0) break;
+      int32_t tid = m.nodes[cur].token_id;
+      if (tid < 0) continue;
+      int64_t end = pos + i + 1;
+      double score = base + m.scores[tid];
+      if (dp[end].start < 0 || score > dp[end].score) {
+        dp[end] = Cell{tid, score, pos};
+      }
+    }
+  }
+
+  int64_t pos = n;
+  size_t first = out.size();
+  while (pos > 0) {
+    if (dp[pos].start < 0) return -1;
+    out.push_back(dp[pos].id);
+    pos = dp[pos].start;
+  }
+  std::reverse(out.begin() + first, out.end());
+  return static_cast<int64_t>(out.size() - first);
+}
+
+// ---------------------------------------------------------------------------
+// Lattice marginals (reference: src/lattice.rs:245-312)
+//
+// Node-order faithful: nodes are created in (pos asc, len asc) order like
+// Model::populate_nodes (reference: src/model.rs:34-55); begin/end node
+// lists hold indices in insertion order; BOS=0 in end_nodes[0], EOS=1 in
+// begin_nodes[n]. The pairwise log_sum_exp accumulation order therefore
+// matches the reference bit-for-bit.
+// ---------------------------------------------------------------------------
+
+struct Lattice {
+  struct Node {
+    int64_t pos;
+    int32_t id;
+    int32_t len;
+    double score;
+  };
+  std::vector<Node> nodes;
+  std::vector<std::vector<int32_t>> begin_nodes, end_nodes;
+  int64_t n = 0;
+
+  void from(const Model& m, const uint8_t* input, int64_t len) {
+    n = len;
+    nodes.clear();
+    begin_nodes.assign(n + 1, {});
+    end_nodes.assign(n + 1, {});
+    nodes.push_back(Node{0, -2, 0, 0.0});        // BOS
+    nodes.push_back(Node{n, -1, 0, 0.0});        // EOS
+    end_nodes[0].push_back(0);
+    begin_nodes[n].push_back(1);
+    for (int64_t pos = 0; pos < n; ++pos) {
+      int32_t cur = 0;
+      int64_t limit = std::min<int64_t>(n - pos, m.max_token_len);
+      for (int64_t i = 0; i < limit; ++i) {
+        cur = m.nodes[cur].find(input[pos + i]);
+        if (cur < 0) break;
+        int32_t tid = m.nodes[cur].token_id;
+        if (tid < 0) continue;
+        int32_t idx = static_cast<int32_t>(nodes.size());
+        begin_nodes[pos].push_back(idx);
+        end_nodes[pos + i + 1].push_back(idx);
+        nodes.push_back(Node{pos, tid, static_cast<int32_t>(i + 1),
+                             m.scores[tid]});
+      }
+    }
+  }
+
+  // Returns z; accumulates into expected[vocab_size].
+  double populate_marginal(double* expected) const {
+    size_t num = nodes.size();
+    std::vector<double> alpha(num, 0.0), beta(num, 0.0);
+    for (int64_t pos = 0; pos <= n; ++pos) {
+      for (int32_t rid : begin_nodes[pos]) {
+        bool first = true;
+        double a = alpha[rid];
+        for (int32_t lid : end_nodes[pos]) {
+          a = log_sum_exp(a, nodes[lid].score + alpha[lid], first);
+          first = false;
+        }
+        alpha[rid] = a;
+      }
+    }
+    for (int64_t pos = n; pos >= 0; --pos) {
+      for (int32_t lid : end_nodes[pos]) {
+        bool first = true;
+        double b = beta[lid];
+        for (int32_t rid : begin_nodes[pos]) {
+          b = log_sum_exp(b, nodes[rid].score + beta[rid], first);
+          first = false;
+        }
+        beta[lid] = b;
+      }
+    }
+    double z = alpha[1];
+    for (int64_t pos = 0; pos < n; ++pos) {
+      for (int32_t idx : begin_nodes[pos]) {
+        const Node& node = nodes[idx];
+        double total = alpha[idx] + node.score + beta[idx] - z;
+        expected[node.id] += std::exp(total);
+      }
+    }
+    return z;
+  }
+
+  // Viterbi over the lattice (reference: src/lattice.rs:112-150).
+  // Fills prev/backtrack arrays; returns best path EXCLUDING sentinels.
+  bool viterbi(std::vector<int32_t>& path,
+               std::vector<double>& backtrack_score,
+               std::vector<int32_t>& prev) const {
+    size_t num = nodes.size();
+    backtrack_score.assign(num, 0.0);
+    prev.assign(num, -1);
+    for (int64_t pos = 0; pos <= n; ++pos) {
+      for (int32_t rid : begin_nodes[pos]) {
+        prev[rid] = -1;
+        double best_score = 0.0;
+        int32_t best_node = -1;
+        for (int32_t lid : end_nodes[pos]) {
+          double score = backtrack_score[lid] + nodes[rid].score;
+          if (best_node < 0 || score > best_score) {
+            best_node = lid;
+            best_score = score;
+          }
+        }
+        if (best_node < 0) return false;
+        prev[rid] = best_node;
+        backtrack_score[rid] = best_score;
+      }
+    }
+    path.clear();
+    int32_t idx = begin_nodes[n][0];
+    while (prev[idx] >= 0) {
+      if (nodes[idx].id >= 0) path.push_back(idx);
+      idx = prev[idx];
+    }
+    std::reverse(path.begin(), path.end());
+    return true;
+  }
+
+  // nbest via A* agenda (reference: src/lattice.rs:152-238). Returns up
+  // to nbest paths of node indices (sentinels excluded).
+  std::vector<std::vector<int32_t>> run_nbest(int nbest) {
+    std::vector<std::vector<int32_t>> out;
+    if (nbest == 0) return out;
+    std::vector<int32_t> path;
+    std::vector<double> bscore;
+    std::vector<int32_t> prev;
+    if (nbest == 1) {
+      if (viterbi(path, bscore, prev)) out.push_back(path);
+      return out;
+    }
+    if (!viterbi(path, bscore, prev)) return out;
+
+    struct Hyp {
+      int32_t node_idx;
+      int32_t parent;  // index into pool, -1 none
+      double fx, gx;
+    };
+    std::vector<Hyp> pool;
+    auto cmp = [&pool](int32_t a, int32_t b) {
+      return pool[a].fx < pool[b].fx;  // max-heap on fx
+    };
+    std::priority_queue<int32_t, std::vector<int32_t>, decltype(cmp)> agenda(cmp);
+
+    double score = nodes[1].score;
+    pool.push_back(Hyp{1, -1, score, score});
+    agenda.push(0);
+
+    while (!agenda.empty()) {
+      int32_t top = agenda.top();
+      agenda.pop();
+      int32_t node_idx = pool[top].node_idx;
+      if (node_idx == 0) {  // BOS
+        std::vector<int32_t> hyp;
+        int32_t next = pool[top].parent;
+        while (next >= 0 && pool[next].parent >= 0) {
+          hyp.push_back(pool[next].node_idx);
+          next = pool[next].parent;
+        }
+        out.push_back(hyp);
+        if (static_cast<int>(out.size()) == nbest) return out;
+      } else {
+        int64_t pos = nodes[node_idx].pos;
+        for (int32_t lnode : end_nodes[pos]) {
+          double top_gx = pool[top].gx;
+          double fx = bscore[lnode] + top_gx;
+          double gx = nodes[lnode].score + top_gx;
+          pool.push_back(Hyp{lnode, top, fx, gx});
+          agenda.push(static_cast<int32_t>(pool.size() - 1));
+        }
+        if (agenda.size() > 100000) {
+          int keep = std::min(512, nbest * 10);
+          std::vector<int32_t> kept;
+          for (int i = 0; i < keep && !agenda.empty(); ++i) {
+            kept.push_back(agenda.top());
+            agenda.pop();
+          }
+          while (!agenda.empty()) agenda.pop();
+          for (int32_t k : kept) agenda.push(k);
+        }
+      }
+    }
+    return out;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Parallel runner
+// ---------------------------------------------------------------------------
+
+void parallel_for(int64_t n, int num_threads, const std::function<void(int64_t, int64_t, int)>& fn) {
+  if (num_threads <= 1 || n <= 1) {
+    fn(0, n, 0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + num_threads - 1) / num_threads;
+  int t = 0;
+  for (int64_t begin = 0; begin < n; begin += chunk, ++t) {
+    int64_t end = std::min(n, begin + chunk);
+    threads.emplace_back([=, &fn] { fn(begin, end, t); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+// ===========================================================================
+// C ABI
+// ===========================================================================
+
+extern "C" {
+
+Model* tg_model_new(const uint8_t* token_data, const int64_t* token_offsets,
+                    const double* scores, int64_t vocab_size) {
+  Model* m = new Model();
+  m->build(token_data, token_offsets, scores, vocab_size);
+  return m;
+}
+
+void tg_model_free(Model* m) { delete m; }
+
+// Encode a batch of samples. Inputs are concatenated bytes + offsets
+// (n_samples+1). Outputs: out_ids buffer (caller-allocated, capacity
+// cap_ids), out_offsets (n_samples+1). Returns total ids written, or
+// -(sample_index+1) on NoPath, or -1000000000 - needed if capacity
+// insufficient.
+int64_t tg_encode_batch(Model* m, const uint8_t* data, const int64_t* offsets,
+                        int64_t n_samples, int32_t* out_ids, int64_t cap_ids,
+                        int64_t* out_offsets, int num_threads) {
+  std::vector<std::vector<int32_t>> results(n_samples);
+  std::atomic<int64_t> fail(-1);
+  parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int) {
+    std::vector<int32_t> buf;
+    for (int64_t i = b; i < e; ++i) {
+      buf.clear();
+      int64_t r = viterbi_encode(*m, data + offsets[i],
+                                 offsets[i + 1] - offsets[i], buf);
+      if (r < 0) {
+        int64_t expect = -1;
+        fail.compare_exchange_strong(expect, i);
+        return;
+      }
+      results[i] = buf;
+    }
+  });
+  if (fail.load() >= 0) return -(fail.load() + 1);
+  int64_t total = 0;
+  for (auto& r : results) total += static_cast<int64_t>(r.size());
+  if (total > cap_ids) return -1000000000 - total;
+  int64_t off = 0;
+  for (int64_t i = 0; i < n_samples; ++i) {
+    out_offsets[i] = off;
+    std::memcpy(out_ids + off, results[i].data(),
+                results[i].size() * sizeof(int32_t));
+    off += static_cast<int64_t>(results[i].size());
+  }
+  out_offsets[n_samples] = off;
+  return total;
+}
+
+// E-step over a batch: accumulates expected counts (vocab_size doubles)
+// and writes per-sample z sums. Samples are chopped into max_snippet
+// byte snippets (reference: src/prune.rs:75-83). Returns 0, or
+// -(sample+1) if a snippet normalizer is not finite.
+int64_t tg_estep_batch(Model* m, const uint8_t* data, const int64_t* offsets,
+                       int64_t n_samples, int64_t max_snippet,
+                       double* expected, double* z_out, int num_threads) {
+  int64_t vocab_size = static_cast<int64_t>(m->scores.size());
+  std::vector<std::vector<double>> partials(
+      std::max(1, num_threads), std::vector<double>(vocab_size, 0.0));
+  std::atomic<int64_t> fail(-1);
+  parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int tix) {
+    Lattice lat;
+    std::vector<double>& part = partials[tix];
+    for (int64_t i = b; i < e; ++i) {
+      double zsum = 0.0;
+      int64_t len = offsets[i + 1] - offsets[i];
+      for (int64_t off = 0; off < len; off += max_snippet) {
+        int64_t slen = std::min(max_snippet, len - off);
+        lat.from(*m, data + offsets[i] + off, slen);
+        double z = lat.populate_marginal(part.data());
+        if (!std::isfinite(z)) {
+          int64_t expect = -1;
+          fail.compare_exchange_strong(expect, i);
+          return;
+        }
+        zsum += z;
+      }
+      if (z_out) z_out[i] = zsum;
+    }
+  });
+  if (fail.load() >= 0) return -(fail.load() + 1);
+  for (auto& part : partials)
+    for (int64_t v = 0; v < vocab_size; ++v) expected[v] += part[v];
+  return 0;
+}
+
+// nbest(2) alternatives per token (reference: src/prune.rs:179-203).
+// For each token id: always_keep[id] (uint8), alternatives written as
+// alt_ids (flat) + alt_offsets (vocab_size+1).
+int64_t tg_prune_alternatives(Model* m, uint8_t* always_keep,
+                              int32_t* alt_ids, int64_t cap_alt,
+                              int64_t* alt_offsets, int num_threads) {
+  int64_t vocab_size = static_cast<int64_t>(m->scores.size());
+  std::vector<std::vector<int32_t>> alts(vocab_size);
+  std::vector<uint8_t> keep(vocab_size, 1);
+  parallel_for(vocab_size, num_threads, [&](int64_t b, int64_t e, int) {
+    Lattice lat;
+    for (int64_t id = b; id < e; ++id) {
+      const auto& token = m->tokens[id];
+      lat.from(*m, token.data(), static_cast<int64_t>(token.size()));
+      auto nbests = lat.run_nbest(2);
+      if (nbests.size() > 1 && nbests[0].size() > 1) keep[id] = 0;
+      if (nbests.size() > 1 && nbests[0].size() == 1) {
+        for (int32_t idx : nbests[1]) alts[id].push_back(lat.nodes[idx].id);
+      }
+    }
+  });
+  int64_t total = 0;
+  for (auto& a : alts) total += static_cast<int64_t>(a.size());
+  if (total > cap_alt) return -1000000000 - total;
+  int64_t off = 0;
+  for (int64_t id = 0; id < vocab_size; ++id) {
+    always_keep[id] = keep[id];
+    alt_offsets[id] = off;
+    std::memcpy(alt_ids + off, alts[id].data(), alts[id].size() * sizeof(int32_t));
+    off += static_cast<int64_t>(alts[id].size());
+  }
+  alt_offsets[vocab_size] = off;
+  return total;
+}
+
+// Token frequency counting via Viterbi encodes
+// (reference: src/prune.rs:211-242). freqs: vocab_size int64.
+// Returns 0 or -(sample+1) on NoPath.
+int64_t tg_count_frequencies(Model* m, const uint8_t* data,
+                             const int64_t* offsets, int64_t n_samples,
+                             int64_t* freqs, int num_threads) {
+  int64_t vocab_size = static_cast<int64_t>(m->scores.size());
+  std::vector<std::vector<int64_t>> partials(
+      std::max(1, num_threads), std::vector<int64_t>(vocab_size, 0));
+  std::atomic<int64_t> fail(-1);
+  parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int tix) {
+    std::vector<int32_t> buf;
+    auto& part = partials[tix];
+    for (int64_t i = b; i < e; ++i) {
+      buf.clear();
+      int64_t r = viterbi_encode(*m, data + offsets[i],
+                                 offsets[i + 1] - offsets[i], buf);
+      if (r < 0) {
+        int64_t expect = -1;
+        fail.compare_exchange_strong(expect, i);
+        return;
+      }
+      for (int32_t id : buf) part[id] += 1;
+    }
+  });
+  if (fail.load() >= 0) return -(fail.load() + 1);
+  for (auto& part : partials)
+    for (int64_t v = 0; v < vocab_size; ++v) freqs[v] += part[v];
+  return 0;
+}
+
+// Adjacent pair counting over Viterbi encodes
+// (reference: src/merge.rs:53-76). Emits up to cap pairs sorted by
+// frequency desc into (pair_a, pair_b, pair_n). Returns count written,
+// or -(sample+1) on NoPath.
+int64_t tg_count_pairs(Model* m, const uint8_t* data, const int64_t* offsets,
+                       int64_t n_samples, int32_t* pair_a, int32_t* pair_b,
+                       int64_t* pair_n, int64_t cap, int num_threads) {
+  struct PairHash {
+    size_t operator()(uint64_t v) const { return std::hash<uint64_t>()(v); }
+  };
+  int nt = std::max(1, num_threads);
+  std::vector<std::unordered_map<uint64_t, int64_t>> partials(nt);
+  std::atomic<int64_t> fail(-1);
+  parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int tix) {
+    std::vector<int32_t> buf;
+    auto& part = partials[tix];
+    for (int64_t i = b; i < e; ++i) {
+      buf.clear();
+      int64_t r = viterbi_encode(*m, data + offsets[i],
+                                 offsets[i + 1] - offsets[i], buf);
+      if (r < 0) {
+        int64_t expect = -1;
+        fail.compare_exchange_strong(expect, i);
+        return;
+      }
+      for (size_t k = 1; k < buf.size(); ++k) {
+        uint64_t key = (static_cast<uint64_t>(static_cast<uint32_t>(buf[k - 1]))
+                        << 32) |
+                       static_cast<uint32_t>(buf[k]);
+        part[key] += 1;
+      }
+    }
+  });
+  if (fail.load() >= 0) return -(fail.load() + 1);
+  std::unordered_map<uint64_t, int64_t> merged;
+  for (auto& part : partials)
+    for (auto& kv : part) merged[kv.first] += kv.second;
+  std::vector<std::pair<uint64_t, int64_t>> pairs(merged.begin(), merged.end());
+  std::sort(pairs.begin(), pairs.end(),
+            [](const auto& a, const auto& b) { return a.second > b.second; });
+  int64_t count = std::min<int64_t>(cap, static_cast<int64_t>(pairs.size()));
+  for (int64_t i = 0; i < count; ++i) {
+    pair_a[i] = static_cast<int32_t>(pairs[i].first >> 32);
+    pair_b[i] = static_cast<int32_t>(pairs[i].first & 0xFFFFFFFFu);
+    pair_n[i] = pairs[i].second;
+  }
+  return count;
+}
+
+}  // extern "C"

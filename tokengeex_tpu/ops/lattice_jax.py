@@ -1,0 +1,486 @@
+"""Device lattice ops: Viterbi + forward-backward EM as chunked scans.
+
+TPU-native replacement for the reference's pointer-based lattice
+(reference: src/lattice.rs, src/model.rs:59-129). The dynamic lattice
+becomes dense tensors over a packed byte stream:
+
+  - substrings are matched against the vocabulary with 2 cuckoo-table
+    row gathers per (position, length) — see ops/match_table.py;
+  - the Viterbi DP  dp[p] = max_l dp[p-l] + score(p-l, l)  and the EM
+    forward/backward  A[p] = LSE_l A[p-l] + score  become scans over
+    positions carrying only the last-L DP values (the recurrence depth
+    is bounded by the max token length L);
+  - sample boundaries inside the packed stream reset the DP, which
+    reproduces the reference's independent-snippet semantics
+    (reference: src/prune.rs:75-83) with fully static shapes.
+
+Structure: an outer `lax.scan` over position-chunks materializes the
+match tables for C positions at a time (memory-bounded), an inner
+unrolled scan does the sequential relaxation. A Pallas kernel with the
+same interface provides the speed-of-light path on TPU.
+
+Tie-breaking matches the reference exactly: candidates for a dp cell
+arrive in ascending start position = descending token length, relaxed
+on strictly-greater, so ties keep the longest token
+(reference: src/model.rs:83-110); we reproduce this with a
+reversed-axis argmax (first max wins = largest l).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import NoPathError
+from ..utils.packing import PackedBatch
+from . import hashing as H
+from .match_table import TokenTable
+
+NEG_INF = float("-inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceBatch:
+    """Device-resident packed corpus (see utils/packing.py)."""
+
+    p1: jax.Array  # (B, L + W+1 + L) int32 prefix hashes (R1), offset L
+    p2: jax.Array  # same for R2
+    sid: jax.Array  # (B, L + W + L) int32 sample ids, -2 out of range
+    is_start: jax.Array  # (B, W+1) bool
+    is_end: jax.Array  # (B, W+1) bool
+    end_index: jax.Array  # (B, W) int32
+    rinv1: jax.Array  # (L + W,) int32: R1^-p at offset L
+    rinv2: jax.Array  # (L + W,) int32
+    width: int
+    pad: int  # = L used for padding offsets
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceTables:
+    t1: jax.Array  # (H, 4) int32
+    t2: jax.Array  # (H, 4) int32
+    scores: jax.Array  # (V,) float
+    bits: int
+    max_len: int
+    vocab_size: int
+
+    @staticmethod
+    def from_table(tbl: TokenTable, dtype=jnp.float32) -> "DeviceTables":
+        scores = tbl.scores_f64 if dtype == jnp.float64 else tbl.scores
+        return DeviceTables(
+            t1=jnp.asarray(tbl.t1.view(np.int32)),
+            t2=jnp.asarray(tbl.t2.view(np.int32)),
+            scores=jnp.asarray(scores.astype(dtype)),
+            bits=tbl.bits,
+            max_len=tbl.max_token_len,
+            vocab_size=tbl.vocab_size,
+        )
+
+
+def prepare_batch(packed: PackedBatch, L: int) -> DeviceBatch:
+    """Compute prefix hashes and padded index arrays for a packed batch."""
+    b = packed.bytes_arr.astype(np.uint32)
+    _, W = b.shape
+    pow1 = H.powers_u32(H.R1, W)
+    pow2 = H.powers_u32(H.R2, W)
+    with np.errstate(over="ignore"):
+        term1 = (b * pow1[None, :]).astype(np.uint32)
+        term2 = (b * pow2[None, :]).astype(np.uint32)
+        p1 = np.zeros((b.shape[0], W + 1), dtype=np.uint32)
+        p2 = np.zeros((b.shape[0], W + 1), dtype=np.uint32)
+        np.cumsum(term1, axis=1, dtype=np.uint32, out=p1[:, 1:])
+        np.cumsum(term2, axis=1, dtype=np.uint32, out=p2[:, 1:])
+
+    def pad2(a, before, after, val):
+        return np.pad(a, ((0, 0), (before, after)), constant_values=val)
+
+    rinv1 = H.powers_u32(H.R1_INV, W)
+    rinv2 = H.powers_u32(H.R2_INV, W)
+
+    return DeviceBatch(
+        p1=jnp.asarray(pad2(p1, L, L, 0).view(np.int32)),
+        p2=jnp.asarray(pad2(p2, L, L, 0).view(np.int32)),
+        sid=jnp.asarray(pad2(packed.sample_id, L, L, -2)),
+        is_start=jnp.asarray(packed.is_start),
+        is_end=jnp.asarray(_is_end_from_spans(packed)),
+        end_index=jnp.asarray(packed.end_index),
+        rinv1=jnp.asarray(np.pad(rinv1, (L, 0), constant_values=1).view(np.int32)),
+        rinv2=jnp.asarray(np.pad(rinv2, (L, 0), constant_values=1).view(np.int32)),
+        width=W,
+        pad=L,
+    )
+
+
+def _is_end_from_spans(packed: PackedBatch) -> np.ndarray:
+    out = np.zeros((packed.rows, packed.width + 1), dtype=bool)
+    for r, s, e, _, _ in packed.spans:
+        out[r, e] = True
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Match slab: start-indexed (score, id) for a range of positions.
+# ---------------------------------------------------------------------------
+
+
+def _probe(tbl: DeviceTables, fp1, fp2, lens):
+    """Cuckoo lookup. fp1/fp2: (..., L) int32; lens: (L,) int32.
+
+    Returns (id, found): id is -1 when not found.
+    """
+    a1 = np.int32(np.uint32(H.IDX_A1).view(np.int32))
+    m1 = np.int32(np.uint32(H.IDX_M1).view(np.int32))
+    a2 = np.int32(np.uint32(H.IDX_A2).view(np.int32))
+    m2 = np.int32(np.uint32(H.IDX_M2).view(np.int32))
+    shift = 32 - tbl.bits
+
+    u1 = (fp1 ^ (lens * a1)) * m1
+    idx1 = jax.lax.shift_right_logical(u1, jnp.int32(shift))
+    u2 = (fp2 ^ (lens * a2)) * m2
+    idx2 = jax.lax.shift_right_logical(u2, jnp.int32(shift))
+
+    e1 = jnp.take(tbl.t1, idx1, axis=0)  # (..., L, 4)
+    e2 = jnp.take(tbl.t2, idx2, axis=0)
+
+    match1 = (e1[..., 0] == fp1) & (e1[..., 1] == fp2) & (e1[..., 2] == lens)
+    match2 = (e2[..., 0] == fp1) & (e2[..., 1] == fp2) & (e2[..., 2] == lens)
+
+    ids = jnp.where(match1, e1[..., 3], jnp.where(match2, e2[..., 3], -1))
+    return ids
+
+
+def _match_slab(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    start,  # traced int32: first global position of the slab
+    n_pos: int,  # static slab length
+    L: int,
+    drop_u: Optional[jax.Array] = None,  # (B, W-domain) int32 random, padded like sid
+    dropout: float = 0.0,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Start-indexed match arrays for global positions [start, start+n_pos).
+
+    Returns (score, ids) of shape (B, n_pos, L) where slot j holds the
+    token of length l=j+1 beginning at that position (score -inf / id -1
+    when no vocabulary token matches).
+    """
+    B = batch.p1.shape[0]
+    off = batch.pad + start  # offset into padded arrays
+
+    # Slices covering positions [start, start + n_pos + L) for end lookups.
+    p1s = jax.lax.dynamic_slice(batch.p1, (0, off), (B, n_pos + L))
+    p2s = jax.lax.dynamic_slice(batch.p2, (0, off), (B, n_pos + L))
+    sids = jax.lax.dynamic_slice(batch.sid, (0, off), (B, n_pos + L))
+    rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))
+    rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))
+
+    base1 = p1s[:, :n_pos]  # P[p]
+    base2 = p2s[:, :n_pos]
+    sid0 = sids[:, :n_pos]
+
+    # (B, n_pos, L) stacked shifted views: slot j uses P[p + j + 1].
+    end1 = jnp.stack([p1s[:, j + 1 : j + 1 + n_pos] for j in range(L)], axis=-1)
+    end2 = jnp.stack([p2s[:, j + 1 : j + 1 + n_pos] for j in range(L)], axis=-1)
+    sid_last = jnp.stack([sids[:, j : j + n_pos] for j in range(L)], axis=-1)
+
+    fp1 = (end1 - base1[..., None]) * rinv1[None, :, None]
+    fp2 = (end2 - base2[..., None]) * rinv2[None, :, None]
+
+    lens = jnp.arange(1, L + 1, dtype=jnp.int32)
+    valid = (sid0[..., None] >= 0) & (sid_last == sid0[..., None])
+
+    if dropout > 0.0 and drop_u is not None:
+        du = jax.lax.dynamic_slice(drop_u, (0, off), (B, n_pos))
+        # Per-(p, l) uniform derived by remixing the per-position word.
+        odd = jnp.asarray(
+            np.arange(1, L + 1, dtype=np.int64) * 2654435761 % (1 << 32),
+            dtype=np.uint32,
+        ).view(np.int32)
+        u = du[..., None] * odd[None, None, :]
+        threshold = np.int32(
+            np.uint32(min(int(dropout * (1 << 32)), (1 << 32) - 1)).view(np.int32)
+        )
+        uu = jax.lax.shift_right_logical(u, jnp.int32(1))
+        tt = jax.lax.shift_right_logical(
+            jnp.full_like(u, threshold), jnp.int32(1)
+        )
+        dropped = (uu < tt) & (lens[None, None, :] > 1)
+        valid = valid & ~dropped
+
+    ids = _probe(tbl, fp1, fp2, lens[None, None, :])
+    ids = jnp.where(valid, ids, -1)
+    found = ids >= 0
+    score = jnp.where(
+        found,
+        jnp.take(tbl.scores, jnp.maximum(ids, 0), axis=0),
+        jnp.array(NEG_INF, dtype=tbl.scores.dtype),
+    ).astype(dtype)
+    return score, ids
+
+
+# ---------------------------------------------------------------------------
+# Forward scans (Viterbi / log-sum-exp)
+# ---------------------------------------------------------------------------
+
+
+def _lse(cand, axis):
+    m = jnp.max(cand, axis=axis)
+    safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.sum(jnp.exp(cand - jnp.expand_dims(safe, axis)), axis=axis)
+    return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
+
+
+def _forward_chunk(tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout):
+    """Match + end-indexed view for one chunk of C dp steps.
+
+    dp step q in [0, C) corresponds to dp index p = chunk_start + q + 1.
+    Slot j of the end view holds the token of length l=j+1 ENDING at p,
+    i.e. starting at p - l = chunk_start + q - j.
+    """
+    # Start-indexed slab for positions [chunk_start - L, chunk_start + C).
+    score_s, ids_s = _match_slab(
+        tbl, batch, chunk_start - L, C + L, L, drop_u, dropout, dtype
+    )
+    # dp step q maps to dp index p = q+1; a token of length l = j+1
+    # ending at p starts at global position q - j = slab index L + q - j.
+    score_e = jnp.stack(
+        [score_s[:, L - j : L - j + C, j] for j in range(L)], axis=-1
+    )
+    ids_e = jnp.stack(
+        [ids_s[:, L - j : L - j + C, j] for j in range(L)], axis=-1
+    )
+    return score_e, ids_e
+
+
+def _scan_forward(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    kind: str,  # "viterbi" | "logsumexp"
+    C: int = 256,
+    unroll: int = 16,
+    dtype=jnp.float32,
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+):
+    B = batch.p1.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    assert W % C == 0, (W, C)
+    nchunks = W // C
+    neg = jnp.array(NEG_INF, dtype=dtype)
+
+    is_start_steps = batch.is_start[:, 1:]  # consumed at dp index p = q+1
+
+    def chunk_body(hist, chunk_idx):
+        chunk_start = chunk_idx * C
+        score_e, ids_e = _forward_chunk(
+            tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout
+        )
+        starts = jax.lax.dynamic_slice(is_start_steps, (0, chunk_start), (B, C))
+
+        def step(h, xs):
+            s, ids, st = xs  # (B, L), (B, L), (B,)
+            cand = h + s
+            if kind == "viterbi":
+                rev = cand[:, ::-1]
+                jrev = jnp.argmax(rev, axis=1)
+                best_j = (L - 1) - jrev
+                dp_p = jnp.take_along_axis(cand, best_j[:, None], axis=1)[:, 0]
+                best_id = jnp.take_along_axis(ids, best_j[:, None], axis=1)[:, 0]
+                out = (dp_p, best_j + 1, jnp.where(jnp.isfinite(dp_p), best_id, -1))
+            else:
+                dp_p = _lse(cand, axis=1)
+                out = (dp_p,)
+            carry_val = jnp.where(st, jnp.zeros_like(dp_p), dp_p)
+            h = jnp.concatenate([carry_val[:, None], h[:, : L - 1]], axis=1)
+            return h, out
+
+        xs = (
+            jnp.moveaxis(score_e, 1, 0),
+            jnp.moveaxis(ids_e, 1, 0),
+            jnp.moveaxis(starts, 1, 0),
+        )
+        hist, outs = jax.lax.scan(step, hist, xs, unroll=min(unroll, C))
+        return hist, outs
+
+    # hist[:, j] = dp[p - 1 - j]; at p=1: hist[0] = dp[0].
+    hist0 = jnp.full((B, L), NEG_INF, dtype=dtype)
+    dp0 = jnp.where(batch.is_start[:, 0], 0.0, neg).astype(dtype)
+    hist0 = hist0.at[:, 0].set(dp0)
+
+    _, outs = jax.lax.scan(chunk_body, hist0, jnp.arange(nchunks))
+    if kind == "viterbi":
+        dp = jnp.moveaxis(outs[0].reshape(W, B), 0, 1)
+        best_l = jnp.moveaxis(outs[1].reshape(W, B), 0, 1)
+        best_id = jnp.moveaxis(outs[2].reshape(W, B), 0, 1)
+        return dp, best_l, best_id
+    else:
+        a = jnp.moveaxis(outs[0].reshape(W, B), 0, 1)
+        a0 = jnp.where(batch.is_start[:, 0], 0.0, neg).astype(dtype)[:, None]
+        return jnp.concatenate([a0, a], axis=1)  # (B, W+1)
+
+
+def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
+            drop_u=None, dropout=0.0):
+    """dp scores + backpointers for the packed batch.
+
+    Returns (dp, best_l, best_id), each (B, W), indexed by dp index p-1.
+    """
+    return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u, dropout)
+
+
+def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
+            drop_u=None, dropout=0.0):
+    """EM forward pass: A (B, W+1) log-prob of segmenting each prefix."""
+    return _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype, drop_u, dropout)
+
+
+# ---------------------------------------------------------------------------
+# Backward + expected counts
+# ---------------------------------------------------------------------------
+
+
+def backward_expected(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    A: jax.Array,  # (B, W+1) from forward()
+    C: int = 256,
+    unroll: int = 16,
+    dtype=jnp.float32,
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+) -> jax.Array:
+    """Expected token counts (V,): scatter-added marginals
+    exp(A[p] + score + B[p+l] - z) per matched token occurrence
+    (reference: src/lattice.rs:245-312).
+    """
+    B = batch.p1.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    V = tbl.vocab_size
+    assert W % C == 0
+    nchunks = W // C
+
+    # Per-position normalizer Z[p] = A[end of sample containing p].
+    Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
+    Z = jnp.where(jnp.isfinite(Z), Z, 0.0).astype(dtype)
+
+    is_end_steps = batch.is_end[:, :W]  # consumed at dp index p = position
+
+    def chunk_body(carry, chunk_idx_rev):
+        hist, expected = carry
+        chunk_idx = (nchunks - 1) - chunk_idx_rev
+        chunk_start = chunk_idx * C
+        score_s, ids_s = _match_slab(
+            tbl, batch, chunk_start, C, L, drop_u, dropout, dtype
+        )
+        ends = jax.lax.dynamic_slice(is_end_steps, (0, chunk_start), (B, C))
+        a_c = jax.lax.dynamic_slice(A, (0, chunk_start), (B, C)).astype(dtype)
+        # A[p] at a boundary stores the PREVIOUS sample's total (pre-reset);
+        # tokens starting at p belong to the next sample, whose forward
+        # value is the post-reset 0.
+        starts_c = jax.lax.dynamic_slice(
+            batch.is_start[:, :W], (0, chunk_start), (B, C)
+        )
+        a_c = jnp.where(starts_c, jnp.zeros_like(a_c), a_c)
+        z_c = jax.lax.dynamic_slice(Z, (0, chunk_start), (B, C))
+
+        def step(h, xs):
+            s, ids, is_e, a_p, z_p = xs  # (B, L) x2, (B,) x3
+            # h[:, j] = Bwd[p + 1 + j]; token length l=j+1 ends at p+l.
+            marg = jnp.exp(a_p[:, None] + s + h - z_p[:, None])
+            marg = jnp.where(ids >= 0, marg, 0.0)
+            cand = s + h
+            b_p = _lse(cand, axis=1)
+            b_p = jnp.where(is_e, jnp.zeros_like(b_p), b_p)
+            h = jnp.concatenate([b_p[:, None], h[:, : L - 1]], axis=1)
+            return h, (marg, ids)
+
+        xs = (
+            jnp.moveaxis(score_s, 1, 0)[::-1],
+            jnp.moveaxis(ids_s, 1, 0)[::-1],
+            jnp.moveaxis(ends, 1, 0)[::-1],
+            jnp.moveaxis(a_c, 1, 0)[::-1],
+            jnp.moveaxis(z_c, 1, 0)[::-1],
+        )
+        hist, (margs, idss) = jax.lax.scan(step, hist, xs, unroll=min(unroll, C))
+
+        safe_ids = jnp.where(idss >= 0, idss, V)
+        expected = expected.at[safe_ids.reshape(-1)].add(
+            margs.reshape(-1), mode="drop"
+        )
+        return (hist, expected), None
+
+    hist0 = jnp.full((B, L), NEG_INF, dtype=dtype)
+    # Tokens ending exactly at W see B[W] = 0 when a sample ends there.
+    hist0 = hist0.at[:, 0].set(
+        jnp.where(batch.is_end[:, W], 0.0, NEG_INF).astype(dtype)
+    )
+    expected0 = jnp.zeros((V + 1,), dtype=dtype)
+    (hist, expected), _ = jax.lax.scan(
+        chunk_body, (hist0, expected0), jnp.arange(nchunks)
+    )
+    return expected[:V]
+
+
+# ---------------------------------------------------------------------------
+# Host-side backtracking
+# ---------------------------------------------------------------------------
+
+
+def backtrack(
+    packed: PackedBatch,
+    dp: np.ndarray,
+    best_l: np.ndarray,
+    best_id: np.ndarray,
+    raise_no_path: bool = True,
+) -> List[Optional[List[int]]]:
+    """Recover token id sequences per snippet span from device outputs.
+
+    Mirrors the reference backtrack (src/model.rs:112-127); an
+    unreachable sample end raises NoPath(len, len) like the reference's
+    dp[n].start == None case.
+    """
+    out: List[Optional[List[int]]] = []
+    for r, s, e, _si, _ci in packed.spans:
+        if e == s:
+            out.append([])
+            continue
+        if not np.isfinite(dp[r, e - 1]):
+            if raise_no_path:
+                raise NoPathError(e - s, e - s)
+            out.append(None)
+            continue
+        ids: List[int] = []
+        pos = e
+        while pos > s:
+            ids.append(int(best_id[r, pos - 1]))
+            pos -= int(best_l[r, pos - 1])
+        ids.reverse()
+        out.append(ids)
+    return out
+
+
+def reassemble(packed: PackedBatch, per_span: List, num_samples: int) -> List:
+    """Concatenate per-snippet results back into per-sample results."""
+    buckets: dict = {}
+    for (r, s, e, si, ci), ids in zip(packed.spans, per_span):
+        buckets.setdefault(si, []).append((ci, ids))
+    out = []
+    for si in range(num_samples):
+        parts = sorted(buckets.get(si, []), key=lambda x: x[0])
+        ids: List[int] = []
+        for _, part in parts:
+            if part is None:
+                out.append(None)
+                break
+            ids.extend(part)
+        else:
+            out.append(ids)
+    return out

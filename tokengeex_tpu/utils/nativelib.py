@@ -1,0 +1,253 @@
+"""ctypes bindings for the native C++ host runtime (native/).
+
+The native library implements the host-side hot paths (exact f64
+Viterbi, lattice marginals, nbest alternatives, frequency/pair counts)
+with semantics identical to models/oracle.py. It is built on demand
+with g++; everything degrades to the Python oracle when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.types import NoPathError, ScoredToken
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "tokengeex_native.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libtokengeex_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def default_threads() -> int:
+    env = os.environ.get("TOKENGEEX_NUM_THREADS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 1
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library with g++ -O3."""
+    if force or not os.path.exists(_LIB) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    ):
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            "-pthread", _SRC, "-o", _LIB,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _lib_failed:
+            return None
+        try:
+            path = build()
+            lib = ctypes.CDLL(path)
+        except Exception:
+            _lib_failed = True
+            return None
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        c_f64p = ctypes.POINTER(ctypes.c_double)
+
+        lib.tg_model_new.restype = ctypes.c_void_p
+        lib.tg_model_new.argtypes = [c_u8p, c_i64p, c_f64p, ctypes.c_int64]
+        lib.tg_model_free.argtypes = [ctypes.c_void_p]
+        lib.tg_encode_batch.restype = ctypes.c_int64
+        lib.tg_encode_batch.argtypes = [
+            ctypes.c_void_p, c_u8p, c_i64p, ctypes.c_int64,
+            c_i32p, ctypes.c_int64, c_i64p, ctypes.c_int,
+        ]
+        lib.tg_estep_batch.restype = ctypes.c_int64
+        lib.tg_estep_batch.argtypes = [
+            ctypes.c_void_p, c_u8p, c_i64p, ctypes.c_int64, ctypes.c_int64,
+            c_f64p, c_f64p, ctypes.c_int,
+        ]
+        lib.tg_prune_alternatives.restype = ctypes.c_int64
+        lib.tg_prune_alternatives.argtypes = [
+            ctypes.c_void_p, c_u8p, c_i32p, ctypes.c_int64, c_i64p, ctypes.c_int,
+        ]
+        lib.tg_count_frequencies.restype = ctypes.c_int64
+        lib.tg_count_frequencies.argtypes = [
+            ctypes.c_void_p, c_u8p, c_i64p, ctypes.c_int64, c_i64p, ctypes.c_int,
+        ]
+        lib.tg_count_pairs.restype = ctypes.c_int64
+        lib.tg_count_pairs.argtypes = [
+            ctypes.c_void_p, c_u8p, c_i64p, ctypes.c_int64,
+            c_i32p, c_i32p, c_i64p, ctypes.c_int64, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _concat(samples: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(samples) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in samples], out=offsets[1:])
+    data = np.frombuffer(b"".join(samples), dtype=np.uint8) if samples else np.zeros(0, np.uint8)
+    return np.ascontiguousarray(data), offsets
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _f64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class NativeModel:
+    """Native-backed unigram model handle."""
+
+    def __init__(self, vocab: Sequence[ScoredToken]):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        data, offsets = _concat([t.value for t in vocab])
+        scores = np.asarray([t.score for t in vocab], dtype=np.float64)
+        self._keepalive = (data, offsets, scores)
+        self.vocab_size = len(vocab)
+        self._handle = lib.tg_model_new(
+            _u8p(data), _i64p(offsets), _f64p(scores), len(vocab)
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.tg_model_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+    def encode(self, sample: bytes) -> List[int]:
+        return self.encode_batch([sample])[0]
+
+    def encode_batch(self, samples: Sequence[bytes],
+                     num_threads: Optional[int] = None) -> List[List[int]]:
+        if not samples:
+            return []
+        data, offsets = _concat(samples)
+        cap = max(int(offsets[-1]), 1)
+        out_ids = np.empty(cap, dtype=np.int32)
+        out_off = np.empty(len(samples) + 1, dtype=np.int64)
+        r = self._lib.tg_encode_batch(
+            self._handle, _u8p(data), _i64p(offsets), len(samples),
+            _i32p(out_ids), cap, _i64p(out_off),
+            num_threads or default_threads(),
+        )
+        if r <= -1000000000:
+            raise RuntimeError("encode capacity error")  # cap == total bytes, unreachable
+        if r < 0:
+            i = int(-r - 1)
+            n = len(samples[i])
+            raise NoPathError(n, n)
+        return [
+            out_ids[out_off[i] : out_off[i + 1]].tolist()
+            for i in range(len(samples))
+        ]
+
+    def estep(self, samples: Sequence[bytes], max_snippet: int = 81920,
+              num_threads: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact f64 E-step. Returns (expected[V], z_per_sample)."""
+        data, offsets = _concat(samples)
+        expected = np.zeros(self.vocab_size, dtype=np.float64)
+        z = np.zeros(len(samples), dtype=np.float64)
+        r = self._lib.tg_estep_batch(
+            self._handle, _u8p(data), _i64p(offsets), len(samples),
+            max_snippet, _f64p(expected), _f64p(z),
+            num_threads or default_threads(),
+        )
+        if r < 0:
+            i = int(-r - 1)
+            raise ValueError(
+                f"normalization constant is not finite (sample={i}, "
+                f"len={len(samples[i])})"
+            )
+        return expected, z
+
+    def prune_alternatives(self, num_threads: Optional[int] = None):
+        """(always_keep[V] bool, alternatives: list[list[int]])
+        (reference: src/prune.rs:179-203)."""
+        keep = np.zeros(self.vocab_size, dtype=np.uint8)
+        cap = max(self.vocab_size * 32, 1024)
+        alt_ids = np.empty(cap, dtype=np.int32)
+        alt_off = np.empty(self.vocab_size + 1, dtype=np.int64)
+        r = self._lib.tg_prune_alternatives(
+            self._handle, _u8p(keep), _i32p(alt_ids), cap, _i64p(alt_off),
+            num_threads or default_threads(),
+        )
+        if r <= -1000000000:
+            cap = int(-1000000000 - r)
+            alt_ids = np.empty(cap, dtype=np.int32)
+            r = self._lib.tg_prune_alternatives(
+                self._handle, _u8p(keep), _i32p(alt_ids), cap, _i64p(alt_off),
+                num_threads or default_threads(),
+            )
+        alts = [
+            alt_ids[alt_off[i] : alt_off[i + 1]].tolist()
+            for i in range(self.vocab_size)
+        ]
+        return keep.astype(bool), alts
+
+    def count_frequencies(self, samples: Sequence[bytes],
+                          num_threads: Optional[int] = None) -> np.ndarray:
+        data, offsets = _concat(samples)
+        freqs = np.zeros(self.vocab_size, dtype=np.int64)
+        r = self._lib.tg_count_frequencies(
+            self._handle, _u8p(data), _i64p(offsets), len(samples),
+            _i64p(freqs), num_threads or default_threads(),
+        )
+        if r < 0:
+            i = int(-r - 1)
+            n = len(samples[i])
+            raise NoPathError(n, n)
+        return freqs
+
+    def count_pairs(self, samples: Sequence[bytes], cap: int = 1 << 20,
+                    num_threads: Optional[int] = None):
+        """[(a, b, freq)] sorted by freq desc (reference: src/merge.rs:53-84)."""
+        data, offsets = _concat(samples)
+        pa = np.empty(cap, dtype=np.int32)
+        pb = np.empty(cap, dtype=np.int32)
+        pn = np.empty(cap, dtype=np.int64)
+        r = self._lib.tg_count_pairs(
+            self._handle, _u8p(data), _i64p(offsets), len(samples),
+            _i32p(pa), _i32p(pb), _i64p(pn), cap,
+            num_threads or default_threads(),
+        )
+        if r < 0:
+            i = int(-r - 1)
+            n = len(samples[i])
+            raise NoPathError(n, n)
+        n = int(r)
+        return list(zip(pa[:n].tolist(), pb[:n].tolist(), pn[:n].tolist()))
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--build" in sys.argv:
+        print(build(force=True))
