@@ -1,0 +1,92 @@
+"""Device-backed corpus passes vs the native/oracle reference."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from tokengeex_tpu import Model, ScoredToken
+from tokengeex_tpu.train import estep_device as ed
+from tokengeex_tpu.utils import nativelib
+
+
+def _setup():
+    rng = random.Random(21)
+    alphabet = b"abcdef ()"
+    vocab = [ScoredToken(bytes([b]), rng.uniform(-11.0, -9.0)) for b in alphabet]
+    seen = {t.value for t in vocab}
+    while len(vocab) < 80:
+        n = rng.randint(2, 8)
+        w = bytes(rng.choice(alphabet) for _ in range(n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(ScoredToken(w, rng.uniform(-9.0, -1.0)))
+    samples = [
+        "".join(rng.choice("abcdef ()") for _ in range(rng.randint(1, 700))).encode()
+        for _ in range(30)
+    ]
+    return Model(vocab), samples
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return _setup()
+
+
+def test_device_estep_matches_native(setup, monkeypatch):
+    model, samples = setup
+    monkeypatch.setattr(ed, "CHUNK", 128)
+    monkeypatch.setattr(ed, "GROUP_BYTES", 1 << 14)  # force multiple groups
+    expected_dev = ed.run_e_step_device(
+        model, samples, dropout=0.0, max_snippet=256, dtype=jnp.float64
+    )
+    native = model.native()
+    expected_ref, z = native.estep(samples, max_snippet=256)
+    np.testing.assert_allclose(expected_dev, expected_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_device_encode_corpus_matches_native(setup, monkeypatch):
+    model, samples = setup
+    monkeypatch.setattr(ed, "CHUNK", 128)
+    monkeypatch.setattr(ed, "GROUP_BYTES", 1 << 14)
+    got = ed.encode_corpus_device(model, samples, dtype=jnp.float64)
+    want = model.native().encode_batch(samples)
+    assert got == want
+
+
+def test_device_count_frequencies(setup, monkeypatch):
+    model, samples = setup
+    monkeypatch.setattr(ed, "CHUNK", 128)
+    freqs = ed.count_frequencies_device(model, samples)
+    want = model.native().count_frequencies(samples)
+    np.testing.assert_array_equal(freqs, want)
+
+
+def test_device_count_pairs(setup, monkeypatch):
+    model, samples = setup
+    monkeypatch.setattr(ed, "CHUNK", 128)
+    pairs = dict(ed.count_pairs_device(model, samples))
+    want = {(a, b): n for a, b, n in model.native().count_pairs(samples)}
+    assert pairs == want
+
+
+def test_device_estep_with_dropout_is_sane(setup, monkeypatch):
+    model, samples = setup
+    monkeypatch.setattr(ed, "CHUNK", 128)
+    e = ed.run_e_step_device(model, samples, dropout=0.3, max_snippet=256,
+                             dtype=jnp.float64, seed=7)
+    e0 = ed.run_e_step_device(model, samples, dropout=0.0, max_snippet=256,
+                              dtype=jnp.float64)
+    # Dropout perturbs but totals stay in the same ballpark (token count
+    # per byte is bounded)
+    assert e.sum() > 0
+    assert abs(e.sum() - e0.sum()) / e0.sum() < 0.5
+    # determinism under same seed
+    e2 = ed.run_e_step_device(model, samples, dropout=0.3, max_snippet=256,
+                              dtype=jnp.float64, seed=7)
+    np.testing.assert_array_equal(e, e2)

@@ -1,0 +1,188 @@
+"""Training layer tests: generate / prune / filter / merge / mine."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from tokengeex_tpu import Model, ScoredToken, make_vocab, new_default_vocab
+from tokengeex_tpu.train.filter import VocabularyFilter
+from tokengeex_tpu.train.generate import VocabularyGenerator
+from tokengeex_tpu.train.merge import VocabularyMerger
+from tokengeex_tpu.train.mine import IdiomMiner
+from tokengeex_tpu.train.prune import VocabularyPruner, digamma
+
+
+def test_generate():
+    # reference: src/generate.rs:245-285
+    generator = VocabularyGenerator(
+        max_token_length=6,
+        insert_probability=1.0,
+        split=None,
+        allow=r"^ ?[a-z]+$",
+        added_tokens=["goodbye", "vec"],
+        suggested_tokens=["string", "map"],
+        seed=0,
+    )
+    samples = [
+        "hello my name is diego and i like std::string",
+        "i also like std::vector",
+        "and std::vector<std::string>",
+        "and std::map<int, std::string>",
+    ]
+    generator.feed(samples)
+    vocab = generator.generate(256 + 10)
+    multi = [t for t in vocab if len(t.value) > 1]
+    assert any(t.value == b"string" for t in multi), multi
+    # added tokens keep=True
+    byval = {t.value: t for t in vocab}
+    assert byval[b"vec"].keep is True
+    assert byval[b"string"].keep is False
+    # log-probs sum to ~1 in prob space
+    total = sum(math.exp(t.score) for t in vocab)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    # byte seed excludes 0xFF (reference quirk, src/generate.rs:164)
+    assert b"\xff" not in byval
+    assert b"\x00" in byval
+
+
+def test_generate_full_byte_seed_flag():
+    g = VocabularyGenerator(max_token_length=4, insert_probability=1.0,
+                            full_byte_seed=True, seed=0)
+    g.feed(["ab"])
+    vocab = g.generate(300)
+    assert any(t.value == b"\xff" for t in vocab)
+
+
+def test_mine():
+    # reference: src/mine.rs:51-77
+    samples = [
+        "std::string",
+        "std::vector",
+        "std::vector<std::string>",
+        "std::map<int, std::string>",
+    ]
+    miner = IdiomMiner(2, r"std::\w+")
+    idioms = miner.mine(samples)
+    assert idioms == [("std::string", 3), ("std::vector", 2)]
+
+
+def test_filter():
+    vocab = make_vocab(
+        [(b"a", -1.0), (b"b", -5.0), (b"c", -9.0), (b"d", -13.0), (b"e", -20.0)]
+    )
+    vocab[3] = vocab[3].clone_with_keep(True)  # d: keep
+    model = Model(vocab)
+    out = VocabularyFilter(vocab_size=2, min_score=-8.0).filter(model)
+    values = [t.value for t in out.vocab]
+    # c (-9) and e (-20) are <= -8 and removable; d kept despite score.
+    # num_to_remove = 3, but only c, e qualify -> 3 tokens remain.
+    assert b"d" in values and b"a" in values and b"b" in values
+    assert b"c" not in values and b"e" not in values
+    # force removes keep tokens too
+    out2 = VocabularyFilter(vocab_size=2, min_score=-8.0, force=True).filter(model)
+    values2 = [t.value for t in out2.vocab]
+    assert b"d" not in values2 and len(values2) == 2
+
+
+def test_filter_min_score_none_keeps_all():
+    model = Model(make_vocab([(b"a", -1.0), (b"b", -2.0)]))
+    out = VocabularyFilter(vocab_size=0).filter(model)
+    assert out.vocab_size() == 2
+
+
+def test_digamma():
+    # asymptotic: digamma(x) ~ ln(x) for large x
+    assert digamma(100000.0) == pytest.approx(math.log(100000.0), abs=1e-4)
+    # recurrence: digamma(x+1) = digamma(x) + 1/x
+    for x in (0.7, 1.5, 3.2):
+        assert digamma(x + 1) == pytest.approx(digamma(x) + 1.0 / x, rel=1e-12)
+
+
+def _code_corpus():
+    rng = random.Random(3)
+    words = ["def", "return", "value", "data", "self", "import", "print"]
+    samples = []
+    for _ in range(60):
+        n = rng.randint(3, 10)
+        samples.append(
+            " ".join(rng.choice(words) for _ in range(n)).encode()
+        )
+    return samples
+
+
+def test_prune_end_to_end():
+    samples = _code_corpus()
+    gen = VocabularyGenerator(max_token_length=8, insert_probability=1.0,
+                              allow=r"^ ?[a-z]+$", seed=1)
+    gen.feed([s.decode() for s in samples])
+    vocab = gen.generate(400)
+    model = Model(vocab)
+    v0 = model.vocab_size()
+
+    pruner = VocabularyPruner(vocab_size=280, shrink_factor=0.8,
+                              em_subiters=1, dropout=0.0, backend="native")
+    model = pruner.prune(model, samples)
+    assert model.vocab_size() <= 280 or model.vocab_size() < v0
+    # Model still segments the corpus and roundtrips
+    for s in samples[:5]:
+        ids = model.encode(s.decode())
+        assert model.decode(ids) == s.decode()
+    # keep tokens (byte seed) survived
+    count_bytes = sum(1 for t in model.vocab if len(t.value) == 1)
+    assert count_bytes == 255
+
+
+def test_prune_em_improves_likelihood():
+    samples = _code_corpus()
+    gen = VocabularyGenerator(max_token_length=8, insert_probability=1.0,
+                              allow=r"^ ?[a-z]+$", seed=2)
+    gen.feed([s.decode() for s in samples])
+    model = Model(gen.generate(400))
+    pruner = VocabularyPruner(vocab_size=300, dropout=0.0, backend="native")
+
+    def loglik(m):
+        native = m.native()
+        _, z = native.estep(samples)
+        return float(z.sum())
+
+    ll0 = loglik(model)
+    expected = pruner.run_e_step(model, samples)
+    model2 = Model(pruner.run_m_step(model, expected))
+    ll1 = loglik(model2)
+    assert ll1 > ll0 - 1e-6, (ll0, ll1)
+
+
+def test_merge():
+    vocab = [ScoredToken(bytes([b]), -10.0) for b in range(256)] + make_vocab(
+        [(b"ab", -2.0), (b"cd", -2.0)]
+    )
+    model = Model(vocab)
+    samples = [b"abcd" * 10] * 5
+    merger = VocabularyMerger(allow=r"^[a-z]+$", num_merges=1,
+                              step=1, scale_factor=0.9, max_token_length=8,
+                              backend="native")
+    model = merger.merge(model, samples)
+    newest = model.vocab[-1]
+    assert newest.value == b"abcd"
+    assert newest.score == pytest.approx((-2.0 + -2.0) * 0.9)
+    assert newest.keep is False
+    # re-encode now uses the merged token
+    assert model.encode("abcd") == [model.vocab_size() - 1]
+
+
+def test_merge_respects_allow_and_length():
+    vocab = [ScoredToken(bytes([b]), -10.0) for b in range(256)] + make_vocab(
+        [(b"ab", -2.0), (b"1d", -2.0)]
+    )
+    model = Model(vocab)
+    samples = [b"ab1d" * 10] * 5
+    merger = VocabularyMerger(allow=r"^[a-z]+$", num_merges=2, step=2,
+                              backend="native")
+    v0 = model.vocab_size()
+    model = merger.merge(model, samples)
+    # "ab1d" contains digits: disallowed; singles pairs disallowed too;
+    # no merges possible -> early stop
+    for t in model.vocab[v0:]:
+        assert False, f"unexpected merge {t}"

@@ -1,0 +1,179 @@
+"""Device-backed corpus passes for training: EM E-step, Viterbi
+frequency counts, and pair counts.
+
+Bridges the host corpus to the packed device kernels
+(ops/lattice_jax.py): samples are packed into fixed-shape
+(rows x width) byte batches (utils/packing.py), processed in row groups
+sized for device memory, and reduced back to host numpy. On a multi-
+device mesh the row groups are sharded data-parallel and the per-token
+count tensors reduced with psum (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.unigram import Model
+from ..ops import lattice_jax as lj
+from ..ops.match_table import TokenTable
+from ..utils.packing import PackedBatch, pack_samples
+
+log = logging.getLogger(__name__)
+
+# Position-chunk length for the outer scan; width is padded to a multiple.
+CHUNK = 512
+# Target bytes per device dispatch (rows_per_group * width).
+GROUP_BYTES = 1 << 22
+
+
+def _pick_width(samples: Sequence[bytes], max_snippet: Optional[int]) -> int:
+    longest = max((len(s) for s in samples), default=1)
+    if max_snippet is not None:
+        longest = min(longest, max_snippet)
+    width = max(CHUNK, -(-longest // CHUNK) * CHUNK)
+    return width
+
+
+def _row_groups(packed: PackedBatch, width: int):
+    rows = packed.rows
+    group = max(1, GROUP_BYTES // width)
+    for start in range(0, rows, group):
+        yield start, min(rows, start + group)
+
+
+def _slice_packed(packed: PackedBatch, r0: int, r1: int) -> PackedBatch:
+    spans = [
+        (r - r0, s, e, si, ci) for (r, s, e, si, ci) in packed.spans
+        if r0 <= r < r1
+    ]
+    return PackedBatch(
+        bytes_arr=packed.bytes_arr[r0:r1],
+        sample_id=packed.sample_id[r0:r1],
+        is_start=packed.is_start[r0:r1],
+        end_index=packed.end_index[r0:r1],
+        spans=spans,
+    )
+
+
+def run_e_step_device(
+    model: Model,
+    samples: Sequence[bytes],
+    dropout: float,
+    max_snippet: int,
+    task=None,
+    dtype=None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Expected token counts over the corpus (reference: src/prune.rs:64-120)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    tbl = TokenTable.build(model.vocab)
+    dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
+    L = dt.max_len
+    width = _pick_width(samples, max_snippet)
+    packed = pack_samples(samples, width=width, max_snippet=max_snippet)
+
+    expected = np.zeros(tbl.vocab_size, dtype=np.float64)
+    key = jax.random.PRNGKey(seed)
+
+    for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
+        sub = _slice_packed(packed, r0, r1)
+        batch = lj.prepare_batch(sub, L)
+        drop_u = None
+        if dropout > 0.0:
+            key, sub_key = jax.random.split(key)
+            drop_u = jax.random.randint(
+                sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+            )
+        A = lj.forward(dt, batch, C=CHUNK, dtype=dtype,
+                       drop_u=drop_u, dropout=dropout)
+        exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
+                                     drop_u=drop_u, dropout=dropout)
+        A_np = np.asarray(A)
+        # Per-snippet normalizer check (reference: src/prune.rs:90-96).
+        for (r, s, e, si, ci) in sub.spans:
+            z = A_np[r, e]
+            if not np.isfinite(z):
+                raise ValueError(
+                    f"normalization constant is not finite (z={z}, "
+                    f"sample={si}, len={len(samples[si])})"
+                )
+        expected += np.asarray(exp_g, dtype=np.float64)
+        if task is not None:
+            nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
+            task.record(nbytes, len({si for (_, _, _, si, _) in sub.spans}))
+    return expected
+
+
+def encode_corpus_device(
+    model: Model,
+    samples: Sequence[bytes],
+    task=None,
+    dtype=None,
+) -> List[List[int]]:
+    """Viterbi-encode all samples on device; exact reference semantics
+    including NoPath (reference: src/model.rs:59-129)."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    tbl = TokenTable.build(model.vocab)
+    dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
+    L = dt.max_len
+    width = _pick_width(samples, None)
+    packed = pack_samples(samples, width=width, max_snippet=None)
+
+    per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
+    for r0, r1 in _row_groups(packed, width):
+        sub = _slice_packed(packed, r0, r1)
+        batch = lj.prepare_batch(sub, L)
+        dp, best_l, best_id = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype)
+        spans = lj.backtrack(sub, np.asarray(dp), np.asarray(best_l),
+                             np.asarray(best_id))
+        for (r, s, e, si, ci), ids in zip(sub.spans, spans):
+            per_span_all.append(((r, s, e, si, ci), ids))
+        if task is not None:
+            nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
+            task.record(nbytes, len({si for (_, _, _, si, _) in sub.spans}))
+
+    out: List[Optional[List[int]]] = [None] * len(samples)
+    for (r, s, e, si, ci), ids in per_span_all:
+        assert ci == 0, "encode packing must not chop samples"
+        out[si] = ids
+    return out  # type: ignore[return-value]
+
+
+def count_frequencies_device(model: Model, samples: Sequence[bytes],
+                             task=None) -> np.ndarray:
+    """Viterbi token frequencies (reference: src/prune.rs:205-246)."""
+    encoded = encode_corpus_device(model, samples, task)
+    freqs = np.zeros(model.vocab_size(), dtype=np.int64)
+    for ids in encoded:
+        if ids:
+            np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+    return freqs
+
+
+def count_pairs_device(model: Model, samples: Sequence[bytes], task=None):
+    """Adjacent pair counts from device Viterbi encodes
+    (reference: src/merge.rs:53-84)."""
+    encoded = encode_corpus_device(model, samples, task)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for ids in encoded:
+        if ids and len(ids) > 1:
+            arr = np.asarray(ids, dtype=np.int64)
+            keys = arr[:-1] << 32 | arr[1:]
+            uniq, cnt = np.unique(keys, return_counts=True)
+            for k, c in zip(uniq.tolist(), cnt.tolist()):
+                counts[(k >> 32, k & 0xFFFFFFFF)] += c
+    return sorted(counts.items(), key=lambda kv: -kv[1])

@@ -1,0 +1,187 @@
+"""Initial vocabulary generation from corpus substring statistics.
+
+Reference: src/generate.rs. For every sample, every substring of up to
+max_token_length chars (at char boundaries) that fully matches the
+allow-regex is counted with probability insert_probability, deduplicated
+per sample (document frequency). The reference does this with one Rust
+regex is_match per candidate; here the allow-regex compiles once to a
+byte DFA and all (position, length) candidates of a sample are tested
+with ~max_token_length vectorized table lookups (core/redfa.py) — the
+same DFA table the TPU kernel consumes.
+
+Scoring (reference: src/generate.rs:148-234): byte tokens seeded at the
+highest observed frequency, added/suggested tokens and frequent
+substrings scored freq * len, sorted by score, converted to log-probs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import re as _re
+from collections import Counter
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.redfa import ByteDFA, compile_dfa
+from ..core.types import ScoredToken
+from ..utils.task import Task
+from .patterns import rust_to_python
+
+log = logging.getLogger(__name__)
+
+
+def logprobs(vocab: List[ScoredToken]) -> None:
+    """Convert raw scores to log probabilities in place
+    (reference: src/generate.rs:237-243)."""
+    total = sum(t.score for t in vocab)
+    logsum = math.log(total)
+    for t in vocab:
+        t.score = math.log(t.score) - logsum
+
+
+@dataclasses.dataclass
+class VocabularyGenerator:
+    """reference: src/generate.rs:12-50 (defaults src/cli.rs:674-675)."""
+
+    max_token_length: int = 24
+    insert_probability: float = 0.1
+    split: Optional[str] = None  # fancy-regex pattern (host-side re)
+    allow: Optional[str] = None  # rust-syntax regex
+    added_tokens: Sequence[str] = ()
+    suggested_tokens: Sequence[str] = ()
+    # Reference quirk: the byte seed loop is `0..255_u8`, EXCLUDING byte
+    # 0xFF (src/generate.rs:164) — while new_default_vocab has all 256.
+    # UTF-8 text never contains 0xFF, so NoPath never triggers; set
+    # full_byte_seed=True to include it anyway.
+    full_byte_seed: bool = False
+    seed: Optional[int] = None
+
+    def __post_init__(self):
+        self.frequencies: Counter = Counter()
+        for token in self.added_tokens:
+            self.frequencies[token] += 1
+        for token in self.suggested_tokens:
+            self.frequencies[token] += 1
+        self._dfa: Optional[ByteDFA] = None
+        if self.allow:
+            self._dfa = compile_dfa(self.allow)
+        self._split_re = _re.compile(rust_to_python(self.split)) if self.split else None
+        self._rng = np.random.default_rng(self.seed)
+
+    def current_size(self) -> int:
+        return len(self.frequencies)
+
+    # -- Feeding -----------------------------------------------------------
+
+    def feed(self, samples: Sequence[str]) -> None:
+        """Count allowed substrings per sample (document frequency)
+        (reference: src/generate.rs:54-139)."""
+        task = Task("Generate feed", len(samples))
+        task.start()
+        try:
+            freqs: Counter = Counter()
+            for sample in samples:
+                tokens = set()
+                if self._split_re is not None:
+                    for m in self._split_re.finditer(sample):
+                        self._feed_part(m.group(0), tokens)
+                else:
+                    self._feed_part(sample, tokens)
+                # Added/suggested tokens counted if present
+                # (reference: src/generate.rs:117-126).
+                for token in list(self.added_tokens) + list(self.suggested_tokens):
+                    if token in sample:
+                        if self._rng.random() < self.insert_probability:
+                            tokens.add(token)
+                freqs.update(tokens)
+                task.record(len(sample.encode("utf-8", "ignore")), 1)
+            self.frequencies.update(freqs)
+        finally:
+            task.finish()
+
+    def _feed_part(self, part: str, tokens: set) -> None:
+        # The reference's candidate loop measures length in BYTES
+        # (len += c.len_utf8(), break when > max_token_length) but only
+        # at char boundaries (src/generate.rs:69-115).
+        data = part.encode("utf-8")
+        n = len(data)
+        if n == 0:
+            return
+        arr = np.frombuffer(data, dtype=np.uint8)
+        is_char_start = (arr & 0xC0) != 0x80
+        max_bytes = min(self.max_token_length, n)
+
+        if self._dfa is not None:
+            allowed = self._dfa.match_lengths(arr, max_bytes)
+        else:
+            allowed = np.ones((n, max_bytes), dtype=bool)
+
+        coin = self._rng.random(allowed.shape) < self.insert_probability
+        cand = allowed & coin & is_char_start[:, None]
+        # End must be a char boundary too: end position p+l is either n
+        # or a char start.
+        end_ok = np.zeros((n, max_bytes), dtype=bool)
+        for j in range(max_bytes):
+            ends = np.arange(n) + j + 1
+            valid = ends <= n
+            eo = np.zeros(n, dtype=bool)
+            inside = ends < n
+            eo[inside] = is_char_start[ends[inside]]
+            eo[ends == n] = True
+            end_ok[:, j] = eo & valid
+        cand &= end_ok
+        for p, j in zip(*np.nonzero(cand)):
+            tokens.add(data[p : p + j + 1].decode("utf-8"))
+
+    # -- Generation --------------------------------------------------------
+
+    def generate(self, size: int) -> List[ScoredToken]:
+        """reference: src/generate.rs:148-234."""
+        frequent = sorted(
+            self.frequencies.items(), key=lambda kv: (-kv[1],)
+        )
+        seen = set()
+        highest_freq = frequent[0][1] if frequent else 1
+
+        byte_hi = 256 if self.full_byte_seed else 255
+        vocab: List[ScoredToken] = []
+        for b in range(byte_hi):
+            seen.add(bytes([b]))
+            vocab.append(ScoredToken(bytes([b]), float(highest_freq), True))
+
+        # Added (keep=True) then suggested (keep=False) tokens
+        # (reference: src/generate.rs:171-193).
+        for token, keep in [(t, True) for t in self.added_tokens] + [
+            (t, False) for t in self.suggested_tokens
+        ]:
+            if len(vocab) >= size:
+                break
+            raw = token.encode("utf-8")
+            if raw not in seen and len(raw) > 1:
+                seen.add(raw)
+                freq = self.frequencies[token]
+                score = float(freq * len(raw))
+                vocab.append(ScoredToken(raw, score, keep))
+
+        # Frequent substrings (reference: src/generate.rs:196-209).
+        for token, freq in frequent:
+            if len(vocab) >= size:
+                break
+            raw = token.encode("utf-8")
+            if raw not in seen and len(raw) > 1:
+                seen.add(raw)
+                vocab.append(ScoredToken(raw, float(freq * len(raw)), False))
+
+        vocab.sort(key=lambda t: -t.score)
+        logprobs(vocab)
+
+        for t in vocab:
+            if not math.isfinite(t.score) or t.score == 0.0:
+                raise ValueError(
+                    f"Vocabulary generation: invalid frequency for token "
+                    f"{t.value!r}: {t.score}"
+                )
+        return vocab
