@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Round benchmark: packed Viterbi encode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the native C++ runtime (the reference-
+equivalent multithreaded CPU implementation, semantics identical to the
+reference Rust encoder) on the same corpus and vocabulary — the
+reference itself publishes no numbers (see BASELINE.md).
+
+Env knobs: TGX_BENCH_MB (corpus size, default 16), TGX_BENCH_VOCAB
+(default 4096), TGX_BENCH_WIDTH (default 8192).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_corpus(nbytes: int):
+    rng = np.random.default_rng(0)
+    words = [
+        "def", "return", "value", "data", "self", "import", "print", "class",
+        "for", "in", "range", "len", "if", "else", "while", "try", "except",
+        "yield", "lambda", "None", "True", "False", "result", "index",
+        "count", "total", "items", "key", "object",
+    ]
+    lines = []
+    size = 0
+    while size < nbytes:
+        n = int(rng.integers(3, 12))
+        line = " ".join(words[i] for i in rng.integers(0, len(words), n))
+        lines.append(line)
+        size += len(line) + 1
+    text = "\n".join(lines).encode()[:nbytes]
+    return [bytes(text[i : i + 6000]) for i in range(0, len(text), 6000)]
+
+
+def main():
+    corpus_mb = float(os.environ.get("TGX_BENCH_MB", "16"))
+    vocab_size = int(os.environ.get("TGX_BENCH_VOCAB", "4096"))
+    width = int(os.environ.get("TGX_BENCH_WIDTH", "8192"))
+
+    from tokengeex_tpu import Model
+    from tokengeex_tpu.train.generate import VocabularyGenerator
+
+    samples = build_corpus(int(corpus_mb * 1e6))
+    total_bytes = sum(map(len, samples))
+    log(f"corpus: {total_bytes/1e6:.1f}MB in {len(samples)} samples")
+
+    gen = VocabularyGenerator(max_token_length=16, insert_probability=1.0,
+                              allow=r"^ ?[a-z]+$", seed=0)
+    gen.feed([s.decode() for s in samples[:50]])
+    vocab = gen.generate(vocab_size)
+    model = Model(vocab)
+    log(f"vocab: {len(vocab)} tokens")
+
+    # -- Native CPU baseline (reference-equivalent implementation) ---------
+    native = model.native()
+    nat_rate = None
+    if native is not None:
+        native.encode_batch(samples[:4])  # warm
+        t0 = time.time()
+        native.encode_batch(samples)
+        nat_s = time.time() - t0
+        nat_rate = total_bytes / nat_s
+        log(f"native CPU ({os.cpu_count()} threads): {nat_rate/1e6:.1f} MB/s")
+
+    # -- Device path -------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from tokengeex_tpu.ops import lattice_jax as lj
+    from tokengeex_tpu.ops.match_table import TokenTable
+    from tokengeex_tpu.utils.packing import pack_samples
+
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]}")
+
+    tbl = TokenTable.build(model.vocab)
+    dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float32)
+    L = dt.max_len
+
+    t0 = time.time()
+    packed = pack_samples(samples, width=width, row_multiple=8)
+    batch = lj.prepare_batch(packed, L)
+    prep_s = time.time() - t0
+    log(f"packed {packed.rows} x {width} rows (prep {prep_s:.2f}s)")
+
+    @jax.jit
+    def vit(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+        b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
+                           is_end=is_end, end_index=end_index,
+                           rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
+        return lj.viterbi(dt, b, C=512, unroll=8, dtype=jnp.float32)
+
+    args = (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,
+            batch.end_index, batch.rinv1, batch.rinv2)
+
+    t0 = time.time()
+    out = vit(*args)
+    jax.block_until_ready(out)
+    log(f"compile+first: {time.time()-t0:.1f}s")
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        out = vit(*args)
+        jax.block_until_ready(out)
+        runs.append(time.time() - t0)
+    best = min(runs)
+    dev_rate = total_bytes / best
+    log(f"device steady: {best:.3f}s -> {dev_rate/1e6:.1f} MB/s")
+
+    vs = (dev_rate / nat_rate) if nat_rate else 0.0
+    print(json.dumps({
+        "metric": f"viterbi_encode_bytes_per_s_{platform}",
+        "value": round(dev_rate, 1),
+        "unit": "bytes/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Evaluate a tokenizer's compression on a NUL-separated test set.
+
+Mirrors the reference harness (reference: scripts/evaluate.py): uniform
+interface over tokengeex_tpu / tiktoken / sentencepiece / transformers /
+HF tokenizers; per-language chars/token plus a 50-bucket sorted token
+frequency distribution; JSON output consumed by scripts/plot.py.
+"""
+
+import argparse
+import base64
+import glob
+import json
+import sys
+
+import numpy as np
+
+
+def make_encoder(lib: str, f: str):
+    if lib == "tiktoken":
+        import tiktoken
+
+        try:
+            enc = tiktoken.encoding_for_model(f)
+        except KeyError:
+            file, model = f.split(":")
+
+            def load_tiktoken_bpe(file):
+                with open(file, "rb") as fh:
+                    contents = fh.read()
+                return {
+                    base64.b64decode(token): int(rank)
+                    for token, rank in (
+                        line.split() for line in contents.splitlines() if line
+                    )
+                }
+
+            mergeable_ranks = load_tiktoken_bpe(file)
+            enc = tiktoken.Encoding(
+                name="custom",
+                mergeable_ranks=mergeable_ranks,
+                pat_str=tiktoken.encoding_for_model(model)._pat_str,
+                special_tokens={},
+                explicit_n_vocab=len(mergeable_ranks),
+            )
+        return enc.encode_ordinary, enc.n_vocab
+    if lib == "sentencepiece":
+        import sentencepiece
+
+        sp = sentencepiece.SentencePieceProcessor(model_file=f)
+        return sp.EncodeAsIds, sp.vocab_size()
+    if lib == "transformers":
+        import transformers
+
+        tok = transformers.AutoTokenizer.from_pretrained(f)
+        return (lambda text: tok.encode(text, add_special_tokens=False),
+                tok.vocab_size)
+    if lib == "tokenizers":
+        import tokenizers
+
+        tok = tokenizers.Tokenizer.from_file(f)
+        return (lambda text: tok.encode(text).ids, tok.get_vocab_size())
+    if lib in ("tokengeex", "tokengeex_tpu"):
+        import tokengeex_tpu
+
+        tok = tokengeex_tpu.Tokenizer.from_file(f)
+        return (lambda text: tok.encode(text, 0.0)), tok.vocab_size()
+    raise ValueError(f"Invalid tokenization library: {lib}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-l", required=True, help="Tokenization library")
+    parser.add_argument("-f", required=True, help="Vocab file or slug")
+    parser.add_argument("-i", required=True, help="Input file glob")
+    parser.add_argument("-o", required=True, help="Output JSON path")
+    args = parser.parse_args()
+
+    encode_fn, vocab_size = make_encoder(args.l, args.f)
+    vocab_name = args.f.split("/")[-1].split(".")[0]
+    print(f"[{vocab_name}] Vocab size: {vocab_size}")
+
+    num_buckets = 50
+    bucket_size = max(1, vocab_size // num_buckets)
+    out = {
+        "vocab_size": vocab_size,
+        "compression": {},
+        "frequency_buckets": [0] * num_buckets,
+    }
+    frequency = np.zeros(vocab_size, dtype=np.int64)
+
+    for file in sorted(glob.glob(args.i)):
+        lang = file.split("/")[-1].split(".")[0]
+        samples = open(file, encoding="utf-8").read().split("\0")
+        num_tokens = 0
+        num_chars = 0
+        for sample in samples:
+            tokens = encode_fn(sample)
+            num_tokens += len(tokens)
+            num_chars += len(sample)
+            for tid in tokens:
+                if tid < vocab_size:
+                    frequency[tid] += 1
+        cpt = round(num_chars / max(1, num_tokens), 2)
+        out["compression"][lang] = {
+            "num_tokens": num_tokens,
+            "num_chars": num_chars,
+            "chars_per_token": cpt,
+        }
+        print(f"[{vocab_name}] {lang}, {len(samples)} samples, "
+              f"{num_tokens} tokens, {num_chars} chars, {cpt} chars per token")
+
+    frequency[::-1].sort()
+    for i in range(num_buckets):
+        out["frequency_buckets"][i] = int(
+            frequency[i * bucket_size : (i + 1) * bucket_size].sum()
+        )
+
+    with open(args.o, "w") as f:
+        json.dump(out, f, indent=4)
+
+
+if __name__ == "__main__":
+    main()

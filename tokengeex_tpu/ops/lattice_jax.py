@@ -258,6 +258,45 @@ def _forward_chunk(tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout):
     return score_e, ids_e
 
 
+def _to_groups(x):
+    """(B, C, L) -> (G, C, L, 128) lane-group layout for Pallas."""
+    B, C, L = x.shape
+    G = B // 128
+    return jnp.transpose(x.reshape(G, 128, C, L), (0, 2, 3, 1))
+
+
+def _rows_to_groups(x):
+    """(B, C) -> (G, C, 1, 128)."""
+    B, C = x.shape
+    G = B // 128
+    return jnp.transpose(x.reshape(G, 128, C), (0, 2, 1))[:, :, None, :]
+
+
+def _groups_to_rows(x):
+    """(G, C, 1, 128) -> (B, C)."""
+    G, C, _, _ = x.shape
+    return jnp.transpose(x[:, :, 0, :], (0, 2, 1)).reshape(G * 128, C)
+
+
+def _hist_to_groups(h):
+    """(B, L) -> (G, L, 128)."""
+    B, L = h.shape
+    G = B // 128
+    return jnp.transpose(h.reshape(G, 128, L), (0, 2, 1))
+
+
+def _hist_from_groups(h):
+    """(G, L, 128) -> (B, L)."""
+    G, L, _ = h.shape
+    return jnp.transpose(h, (0, 2, 1)).reshape(G * 128, L)
+
+
+def _pallas_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def _scan_forward(
     tbl: DeviceTables,
     batch: DeviceBatch,
@@ -267,11 +306,15 @@ def _scan_forward(
     dtype=jnp.float32,
     drop_u: Optional[jax.Array] = None,
     dropout: float = 0.0,
+    backend: str = "xla",
 ):
     B = batch.p1.shape[0]
     W = batch.width
     L = tbl.max_len
     assert W % C == 0, (W, C)
+    if backend == "pallas":
+        assert B % 128 == 0, f"pallas backend needs rows % 128 == 0, got {B}"
+        assert dtype == jnp.float32
     nchunks = W // C
     neg = jnp.array(NEG_INF, dtype=dtype)
 
@@ -283,6 +326,30 @@ def _scan_forward(
             tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout
         )
         starts = jax.lax.dynamic_slice(is_start_steps, (0, chunk_start), (B, C))
+
+        if backend == "pallas":
+            from . import lattice_pallas as lp
+
+            score_g = jnp.maximum(_to_groups(score_e), lp.NEG)
+            starts_g = _rows_to_groups(starts.astype(jnp.float32))
+            hist_g = _hist_to_groups(jnp.maximum(hist, lp.NEG))
+            interp = _pallas_interpret()
+            if kind == "viterbi":
+                ids_g = _to_groups(ids_e)
+                dp4, bl4, bid4, hist_g = lp.viterbi_chunk(
+                    score_g, ids_g, starts_g, hist_g, interpret=interp
+                )
+                outs = (
+                    _groups_to_rows(dp4),
+                    _groups_to_rows(bl4),
+                    _groups_to_rows(bid4),
+                )
+            else:
+                a4, hist_g = lp.forward_chunk(
+                    score_g, starts_g, hist_g, interpret=interp
+                )
+                outs = (_groups_to_rows(a4),)
+            return _hist_from_groups(hist_g), outs
 
         def step(h, xs):
             s, ids, st = xs  # (B, L), (B, L), (B,)
@@ -315,30 +382,44 @@ def _scan_forward(
     hist0 = hist0.at[:, 0].set(dp0)
 
     _, outs = jax.lax.scan(chunk_body, hist0, jnp.arange(nchunks))
+
+    def assemble(stacked):
+        if backend == "pallas":  # (nchunks, B, C)
+            return jnp.moveaxis(stacked, 0, 1).reshape(B, W)
+        return jnp.moveaxis(stacked.reshape(W, B), 0, 1)  # (nchunks, C, B)
+
     if kind == "viterbi":
-        dp = jnp.moveaxis(outs[0].reshape(W, B), 0, 1)
-        best_l = jnp.moveaxis(outs[1].reshape(W, B), 0, 1)
-        best_id = jnp.moveaxis(outs[2].reshape(W, B), 0, 1)
+        dp, best_l, best_id = (assemble(o) for o in outs)
+        if backend == "pallas":
+            from . import lattice_pallas as lp
+
+            dp = jnp.where(dp <= lp.NEG * 0.5, NEG_INF, dp)
         return dp, best_l, best_id
     else:
-        a = jnp.moveaxis(outs[0].reshape(W, B), 0, 1)
+        a = assemble(outs[0])
+        if backend == "pallas":
+            from . import lattice_pallas as lp
+
+            a = jnp.where(a <= lp.NEG * 0.5, NEG_INF, a)
         a0 = jnp.where(batch.is_start[:, 0], 0.0, neg).astype(dtype)[:, None]
         return jnp.concatenate([a0, a], axis=1)  # (B, W+1)
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0):
+            drop_u=None, dropout=0.0, backend="xla"):
     """dp scores + backpointers for the packed batch.
 
     Returns (dp, best_l, best_id), each (B, W), indexed by dp index p-1.
     """
-    return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u, dropout)
+    return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u,
+                         dropout, backend)
 
 
 def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0):
+            drop_u=None, dropout=0.0, backend="xla"):
     """EM forward pass: A (B, W+1) log-prob of segmenting each prefix."""
-    return _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype, drop_u, dropout)
+    return _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype, drop_u,
+                         dropout, backend)
 
 
 # ---------------------------------------------------------------------------
@@ -355,6 +436,7 @@ def backward_expected(
     dtype=jnp.float32,
     drop_u: Optional[jax.Array] = None,
     dropout: float = 0.0,
+    backend: str = "xla",
 ) -> jax.Array:
     """Expected token counts (V,): scatter-added marginals
     exp(A[p] + score + B[p+l] - z) per matched token occurrence
@@ -365,11 +447,13 @@ def backward_expected(
     L = tbl.max_len
     V = tbl.vocab_size
     assert W % C == 0
+    if backend == "pallas":
+        assert B % 128 == 0 and dtype == jnp.float32
     nchunks = W // C
 
     # Per-position normalizer Z[p] = A[end of sample containing p].
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
-    Z = jnp.where(jnp.isfinite(Z), Z, 0.0).astype(dtype)
+    Z = jnp.where(jnp.isfinite(Z) & (Z > -1e37), Z, 0.0).astype(dtype)
 
     is_end_steps = batch.is_end[:, :W]  # consumed at dp index p = position
 
@@ -391,25 +475,45 @@ def backward_expected(
         a_c = jnp.where(starts_c, jnp.zeros_like(a_c), a_c)
         z_c = jax.lax.dynamic_slice(Z, (0, chunk_start), (B, C))
 
-        def step(h, xs):
-            s, ids, is_e, a_p, z_p = xs  # (B, L) x2, (B,) x3
-            # h[:, j] = Bwd[p + 1 + j]; token length l=j+1 ends at p+l.
-            marg = jnp.exp(a_p[:, None] + s + h - z_p[:, None])
-            marg = jnp.where(ids >= 0, marg, 0.0)
-            cand = s + h
-            b_p = _lse(cand, axis=1)
-            b_p = jnp.where(is_e, jnp.zeros_like(b_p), b_p)
-            h = jnp.concatenate([b_p[:, None], h[:, : L - 1]], axis=1)
-            return h, (marg, ids)
+        if backend == "pallas":
+            from . import lattice_pallas as lp
 
-        xs = (
-            jnp.moveaxis(score_s, 1, 0)[::-1],
-            jnp.moveaxis(ids_s, 1, 0)[::-1],
-            jnp.moveaxis(ends, 1, 0)[::-1],
-            jnp.moveaxis(a_c, 1, 0)[::-1],
-            jnp.moveaxis(z_c, 1, 0)[::-1],
-        )
-        hist, (margs, idss) = jax.lax.scan(step, hist, xs, unroll=min(unroll, C))
+            score_g = jnp.maximum(_to_groups(score_s), lp.NEG)
+            a_g = _rows_to_groups(jnp.maximum(a_c, lp.NEG))
+            z_g = _rows_to_groups(z_c)
+            ends_g = _rows_to_groups(ends.astype(jnp.float32))
+            hist_g = _hist_to_groups(jnp.maximum(hist, lp.NEG))
+            marg_g, hist_g = lp.backward_chunk(
+                score_g, a_g, z_g, ends_g, hist_g,
+                interpret=_pallas_interpret(),
+            )
+            # (G, C, L, 128) -> (B, C, L)
+            Gn = marg_g.shape[0]
+            margs = jnp.transpose(marg_g, (0, 3, 1, 2)).reshape(B, C, L)
+            margs = jnp.where(ids_s >= 0, margs, 0.0)
+            hist = _hist_from_groups(hist_g)
+            idss = ids_s
+        else:
+            def step(h, xs):
+                s, ids, is_e, a_p, z_p = xs  # (B, L) x2, (B,) x3
+                # h[:, j] = Bwd[p + 1 + j]; token length l=j+1 ends at p+l.
+                marg = jnp.exp(a_p[:, None] + s + h - z_p[:, None])
+                marg = jnp.where(ids >= 0, marg, 0.0)
+                cand = s + h
+                b_p = _lse(cand, axis=1)
+                b_p = jnp.where(is_e, jnp.zeros_like(b_p), b_p)
+                h = jnp.concatenate([b_p[:, None], h[:, : L - 1]], axis=1)
+                return h, (marg, ids)
+
+            xs = (
+                jnp.moveaxis(score_s, 1, 0)[::-1],
+                jnp.moveaxis(ids_s, 1, 0)[::-1],
+                jnp.moveaxis(ends, 1, 0)[::-1],
+                jnp.moveaxis(a_c, 1, 0)[::-1],
+                jnp.moveaxis(z_c, 1, 0)[::-1],
+            )
+            hist, (margs, idss) = jax.lax.scan(step, hist, xs,
+                                               unroll=min(unroll, C))
 
         safe_ids = jnp.where(idss >= 0, idss, V)
         expected = expected.at[safe_ids.reshape(-1)].add(

@@ -1,0 +1,145 @@
+"""Multi-chip scaling: 1-D data mesh + psum-reduced corpus passes.
+
+The reference's only parallelism is rayon data-parallelism over samples
+with RwLock-merged partials (reference: src/prune.rs:65-112,
+src/task.rs:134-137). The TPU-native equivalent: a 1-D
+`jax.sharding.Mesh` over all chips, corpus row-groups sharded along it
+with `shard_map`, the vocabulary tables replicated per chip, and dense
+per-token count tensors reduced with `jax.lax.psum` over ICI. TP/PP/SP
+are not applicable to this workload (no neural network; the model state
+is the token table, which fits replicated in HBM; sequence scaling is
+handled by the packed-window DP carry instead).
+
+Multi-host pods: call `jax.distributed.initialize()` before using these
+helpers; each process feeds its local corpus shard
+(`distributed_initialize` below) and psum spans DCN automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def get_mesh(n_devices: Optional[int] = None, axis: str = "data"):
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def distributed_initialize(**kwargs) -> None:
+    """Initialize multi-host JAX (no-op if single process)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
+                   dropout: float = 0.0):
+    """Build a jitted, mesh-sharded E-step over packed batch arrays.
+
+    Returns fn(p1, p2, sid, is_start, is_end, end_index, drop_u)
+    -> (A, expected) where the batch rows are sharded over the mesh's
+    data axis, A is returned sharded (rows stay local), and expected is
+    psum-reduced and replicated.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import lattice_jax as lj
+
+    axis = mesh.axis_names[0]
+    L = dt.max_len
+
+    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
+                   drop_u=None):
+        batch = lj.DeviceBatch(
+            p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+            end_index=end_index, rinv1=rinv1, rinv2=rinv2,
+            width=width, pad=L,
+        )
+        A = lj.forward(dt, batch, C=chunk, dtype=dtype,
+                       drop_u=drop_u, dropout=dropout)
+        expected = lj.backward_expected(dt, batch, A, C=chunk, dtype=dtype,
+                                        drop_u=drop_u, dropout=dropout)
+        expected = jax.lax.psum(expected, axis)
+        return A, expected
+
+    base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P())
+    in_specs = base_specs + ((P(axis),) if dropout > 0.0 else ())
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype):
+    """Mesh-sharded Viterbi over packed rows: returns
+    fn(batch arrays) -> (dp, best_l, best_id), all row-sharded."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import lattice_jax as lj
+
+    axis = mesh.axis_names[0]
+    L = dt.max_len
+
+    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+        batch = lj.DeviceBatch(
+            p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+            end_index=end_index, rinv1=rinv1, rinv2=rinv2,
+            width=width, pad=L,
+        )
+        return lj.viterbi(dt, batch, C=chunk, dtype=dtype)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6 + (P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def batch_to_arrays(batch) -> tuple:
+    """DeviceBatch -> flat array tuple for the sharded fns."""
+    return (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,
+            batch.end_index, batch.rinv1, batch.rinv2)
+
+
+def pad_rows_to_multiple(packed, mult: int):
+    """Pad a PackedBatch's rows so they divide evenly over a mesh."""
+    from ..utils.packing import PackedBatch
+
+    rows = packed.rows
+    target = -(-rows // mult) * mult
+    if target == rows:
+        return packed
+    pad = target - rows
+    return PackedBatch(
+        bytes_arr=np.pad(packed.bytes_arr, ((0, pad), (0, 0))),
+        sample_id=np.pad(packed.sample_id, ((0, pad), (0, 0)),
+                         constant_values=-1),
+        is_start=np.pad(packed.is_start, ((0, pad), (0, 0))),
+        end_index=np.pad(packed.end_index, ((0, pad), (0, 0))),
+        spans=packed.spans,
+    )
