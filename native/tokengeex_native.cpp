@@ -21,8 +21,10 @@
 #include <cstring>
 #include <functional>
 #include <queue>
+#include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -546,6 +548,87 @@ int64_t tg_count_pairs(Model* m, const uint8_t* data, const int64_t* offsets,
     pair_n[i] = pairs[i].second;
   }
   return count;
+}
+
+// Substring candidate counting for vocabulary generation
+// (reference: src/generate.rs:54-139). For every sample, every
+// char-boundary-aligned substring of <= max_token_length bytes whose
+// DFA run ends in an accept state is inserted with probability
+// insert_probability into a per-sample set (document frequency), then
+// merged into a global count map.
+//
+// dfa_next: (num_states, 256) int32, dfa_accept: (num_states,) uint8.
+// Pass num_states == 0 to allow everything.
+//
+// Results are serialized into out_buf as repeated records:
+//   [count: int64][len: int32][bytes...]
+// Returns the number of bytes written, or -1000000000 - needed if the
+// buffer is too small (call again with a bigger buffer).
+extern "C" int64_t tg_substring_count(
+    const uint8_t* data, const int64_t* offsets, int64_t n_samples,
+    const int32_t* dfa_next, const uint8_t* dfa_accept, int32_t num_states,
+    int32_t start_state, int64_t max_token_length, double insert_probability,
+    uint64_t seed, uint8_t* out_buf, int64_t cap, int num_threads) {
+  int nt = std::max(1, num_threads);
+  std::vector<std::unordered_map<std::string, int64_t>> partials(nt);
+
+  parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int tix) {
+    auto& freq = partials[tix];
+    // splitmix64 per thread
+    uint64_t rng = seed + 0x9E3779B97F4A7C15ULL * (tix + 1);
+    auto next_rand = [&rng]() -> double {
+      rng += 0x9E3779B97F4A7C15ULL;
+      uint64_t z = rng;
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+      z = z ^ (z >> 31);
+      return (z >> 11) * (1.0 / 9007199254740992.0);
+    };
+    std::unordered_set<std::string> sample_tokens;
+    for (int64_t i = b; i < e; ++i) {
+      const uint8_t* s = data + offsets[i];
+      int64_t n = offsets[i + 1] - offsets[i];
+      sample_tokens.clear();
+      for (int64_t p = 0; p < n; ++p) {
+        if ((s[p] & 0xC0) == 0x80) continue;  // not a char start
+        int32_t state = start_state;
+        int64_t limit = std::min(n - p, max_token_length);
+        for (int64_t l = 1; l <= limit; ++l) {
+          if (num_states > 0) {
+            state = dfa_next[state * 256 + s[p + l - 1]];
+            if (state == 0) break;  // dead state: no longer match possible
+          }
+          // End must be a char boundary.
+          if (p + l < n && (s[p + l] & 0xC0) == 0x80) continue;
+          bool ok = num_states == 0 || dfa_accept[state];
+          if (ok && next_rand() < insert_probability) {
+            sample_tokens.emplace(reinterpret_cast<const char*>(s + p), l);
+          }
+        }
+      }
+      for (const auto& tok : sample_tokens) freq[tok] += 1;
+    }
+  });
+
+  std::unordered_map<std::string, int64_t> merged;
+  for (auto& part : partials)
+    for (auto& kv : part) merged[kv.first] += kv.second;
+
+  int64_t needed = 0;
+  for (auto& kv : merged)
+    needed += 8 + 4 + static_cast<int64_t>(kv.first.size());
+  if (needed > cap) return -1000000000 - needed;
+
+  int64_t off = 0;
+  for (auto& kv : merged) {
+    int64_t count = kv.second;
+    int32_t len = static_cast<int32_t>(kv.first.size());
+    std::memcpy(out_buf + off, &count, 8);
+    std::memcpy(out_buf + off + 8, &len, 4);
+    std::memcpy(out_buf + off + 12, kv.first.data(), len);
+    off += 12 + len;
+  }
+  return off;
 }
 
 }  // extern "C"

@@ -31,6 +31,33 @@ from .core.types import (
 from .models.oracle import Lattice, OracleModel, Trie
 from .models.unigram import Model
 
+
+def __getattr__(name):
+    # Lazy access to the training layer (keeps plain tokenization
+    # imports free of jax/numpy-heavy modules).
+    if name == "VocabularyGenerator":
+        from .train.generate import VocabularyGenerator
+
+        return VocabularyGenerator
+    if name == "VocabularyPruner":
+        from .train.prune import VocabularyPruner
+
+        return VocabularyPruner
+    if name == "VocabularyMerger":
+        from .train.merge import VocabularyMerger
+
+        return VocabularyMerger
+    if name == "VocabularyFilter":
+        from .train.filter import VocabularyFilter
+
+        return VocabularyFilter
+    if name == "IdiomMiner":
+        from .train.mine import IdiomMiner
+
+        return IdiomMiner
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
 __all__ = [

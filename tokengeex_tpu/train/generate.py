@@ -82,25 +82,57 @@ class VocabularyGenerator:
         task = Task("Generate feed", len(samples))
         task.start()
         try:
-            freqs: Counter = Counter()
-            for sample in samples:
-                tokens = set()
-                if self._split_re is not None:
-                    for m in self._split_re.finditer(sample):
-                        self._feed_part(m.group(0), tokens)
-                else:
-                    self._feed_part(sample, tokens)
-                # Added/suggested tokens counted if present
-                # (reference: src/generate.rs:117-126).
-                for token in list(self.added_tokens) + list(self.suggested_tokens):
-                    if token in sample:
-                        if self._rng.random() < self.insert_probability:
-                            tokens.add(token)
-                freqs.update(tokens)
-                task.record(len(sample.encode("utf-8", "ignore")), 1)
-            self.frequencies.update(freqs)
+            nbytes = sum(len(s.encode("utf-8", "ignore")) for s in samples)
+            if self._split_re is None and self._feed_native(samples):
+                pass
+            else:
+                freqs: Counter = Counter()
+                for sample in samples:
+                    tokens = set()
+                    if self._split_re is not None:
+                        for m in self._split_re.finditer(sample):
+                            self._feed_part(m.group(0), tokens)
+                    else:
+                        self._feed_part(sample, tokens)
+                    freqs.update(tokens)
+                self.frequencies.update(freqs)
+            self._feed_special(samples)
+            task.record(nbytes, len(samples))
         finally:
             task.finish()
+
+    def _feed_special(self, samples: Sequence[str]) -> None:
+        """Added/suggested tokens counted when present
+        (reference: src/generate.rs:117-126)."""
+        extra: Counter = Counter()
+        for sample in samples:
+            for token in list(self.added_tokens) + list(self.suggested_tokens):
+                if token in sample:
+                    if self._rng.random() < self.insert_probability:
+                        extra[token] += 1
+        self.frequencies.update(extra)
+
+    def _feed_native(self, samples: Sequence[str]) -> bool:
+        """Threaded C++ DFA-filtered counting; False if unavailable."""
+        try:
+            from ..utils import nativelib
+
+            if nativelib.get_lib() is None:
+                return False
+            seed = int(self._rng.integers(0, 2**63 - 1))
+            counts = nativelib.substring_count(
+                [s.encode("utf-8") for s in samples],
+                dfa=self._dfa,
+                max_token_length=self.max_token_length,
+                insert_probability=self.insert_probability,
+                seed=seed,
+            )
+        except Exception:
+            log.exception("native substring counting failed; "
+                          "falling back to Python")
+            return False
+        self.frequencies.update(counts)
+        return True
 
     def _feed_part(self, part: str, tokens: set) -> None:
         # The reference's candidate loop measures length in BYTES

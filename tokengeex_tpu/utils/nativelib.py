@@ -91,6 +91,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, c_u8p, c_i64p, ctypes.c_int64,
             c_i32p, c_i32p, c_i64p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.tg_substring_count.restype = ctypes.c_int64
+        lib.tg_substring_count.argtypes = [
+            c_u8p, c_i64p, ctypes.c_int64,
+            c_i32p, c_u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+            c_u8p, ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -244,6 +251,57 @@ class NativeModel:
             raise NoPathError(n, n)
         n = int(r)
         return list(zip(pa[:n].tolist(), pb[:n].tolist(), pn[:n].tolist()))
+
+
+def substring_count(
+    samples: Sequence[bytes],
+    dfa=None,  # core.redfa.ByteDFA or None (allow everything)
+    max_token_length: int = 24,
+    insert_probability: float = 0.1,
+    seed: int = 0,
+    num_threads: Optional[int] = None,
+):
+    """Threaded DFA-filtered substring document-frequency counts
+    (reference: src/generate.rs:54-139). Returns {str: count}."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data, offsets = _concat(samples)
+    if dfa is not None:
+        dfa_next = np.ascontiguousarray(dfa.next, dtype=np.int32)
+        dfa_accept = np.ascontiguousarray(dfa.accept, dtype=np.uint8)
+        num_states = dfa_next.shape[0]
+        start_state = dfa.start
+    else:
+        dfa_next = np.zeros((1, 256), dtype=np.int32)
+        dfa_accept = np.zeros(1, dtype=np.uint8)
+        num_states = 0
+        start_state = 0
+
+    cap = 1 << 24
+    while True:
+        buf = np.empty(cap, dtype=np.uint8)
+        r = lib.tg_substring_count(
+            _u8p(data), _i64p(offsets), len(samples),
+            _i32p(dfa_next), _u8p(dfa_accept), num_states, start_state,
+            max_token_length, insert_probability, seed,
+            _u8p(buf), cap, num_threads or default_threads(),
+        )
+        if r <= -1000000000:
+            cap = int(-1000000000 - r)
+            continue
+        break
+
+    out = {}
+    raw = buf[: int(r)].tobytes()
+    off = 0
+    while off < len(raw):
+        count = int.from_bytes(raw[off : off + 8], "little", signed=True)
+        ln = int.from_bytes(raw[off + 8 : off + 12], "little", signed=True)
+        token = raw[off + 12 : off + 12 + ln].decode("utf-8")
+        out[token] = count
+        off += 12 + ln
+    return out
 
 
 if __name__ == "__main__":
