@@ -184,7 +184,7 @@ def test_tokenizer_json_roundtrip():
     assert obj["processors"] == [{"type": "crlf"}, {"type": "unicode", "form": "nfc"}]
     back = Tokenizer.from_str(s)
     assert back.vocab_size() == tok.vocab_size()
-    assert back.special_tokens == tok.special_tokens
+    assert back.special_tokens() == tok.special_tokens()
     assert [t.value for t in back.model.vocab] == [t.value for t in tok.model.vocab]
     assert [t.score for t in back.model.vocab] == [t.score for t in tok.model.vocab]
     assert back.encode("hello world") == tok.encode("hello world")

@@ -66,9 +66,9 @@ def test_match_table_lookup_roundtrip():
     packed = pack_samples(samples, width=64)
     batch = lj.prepare_batch(packed, dt.max_len)
     score, ids = lj._match_slab(dt, batch, 0, packed.width, dt.max_len)
-    ids = np.asarray(ids)
+    ids = np.asarray(ids)  # (B, L, n_pos)
     for (r, s, e, si, _), token in zip(packed.spans, [samples[sp[3]] for sp in packed.spans]):
-        tid = ids[r, s, e - s - 1]
+        tid = ids[r, e - s - 1, s]
         assert tid >= 0, f"token {token!r} not matched"
         assert vocab[tid].value == token
 

@@ -169,7 +169,7 @@ def cmd_prune(args) -> None:
     )
     tokenizer = Tokenizer.from_file(args.input)
     model, processors, specials = (
-        tokenizer.model, tokenizer.processors, tokenizer.special_tokens
+        tokenizer.model, tokenizer.processors, tokenizer.special_tokens()
     )
     initial = model.vocab_size()
     train = load_sources(args.train, processors, "train")
@@ -218,7 +218,7 @@ def cmd_filter(args) -> None:
         initial, model.vocab_size(),
         format_bytes_as_mb(sum(len(t) for t in model.vocab)),
     )
-    Tokenizer(model, tokenizer.processors, tokenizer.special_tokens).save(
+    Tokenizer(model, tokenizer.processors, tokenizer.special_tokens()).save(
         args.output
     )
     log.info("Saved filtered vocabulary to %r", args.output)
@@ -254,7 +254,7 @@ def cmd_merge(args) -> None:
         initial, model.vocab_size(),
         format_bytes_as_mb(sum(len(t) for t in model.vocab)),
     )
-    Tokenizer(model, tokenizer.processors, tokenizer.special_tokens).save(
+    Tokenizer(model, tokenizer.processors, tokenizer.special_tokens()).save(
         args.output
     )
     log.info("Saved merged vocabulary to %r", args.output)

@@ -31,7 +31,7 @@ class Tokenizer:
     ):
         self.model = model
         self.processors: List[Processor] = list(processors)
-        self.special_tokens: List[str] = []
+        self._special_tokens: List[str] = []
         self.special_tokens_map: Dict[str, int] = {}
         self.add_special_tokens(special_tokens)
 
@@ -42,8 +42,8 @@ class Tokenizer:
         for token in tokens:
             if token in self.special_tokens_map:
                 continue
-            self.special_tokens_map[token] = len(self.special_tokens)
-            self.special_tokens.append(token)
+            self.special_tokens_map[token] = len(self._special_tokens)
+            self._special_tokens.append(token)
 
     def add_base_tokens(self, tokens: List[ScoredToken]) -> None:
         self.model.add_tokens(tokens)
@@ -55,7 +55,7 @@ class Tokenizer:
         """Reference: src/tokenizer.rs:65-89."""
         ids: List[int] = []
         base = self.model.vocab_size()
-        for substr, is_special in split_special_tokens(text, self.special_tokens):
+        for substr, is_special in split_special_tokens(text, self._special_tokens):
             if is_special:
                 ids.append(base + self.special_tokens_map[substr])
             else:
@@ -99,10 +99,10 @@ class Tokenizer:
                 flush(span)
                 span = []
                 special_idx = tid - base
-                if special_idx >= len(self.special_tokens):
+                if special_idx >= len(self._special_tokens):
                     raise TokenIdOutOfBoundsError(tid)
                 if include_special_tokens:
-                    out.append(self.special_tokens[special_idx])
+                    out.append(self._special_tokens[special_idx])
             else:
                 span.append(tid)
         flush(span)
@@ -146,8 +146,8 @@ class Tokenizer:
         if tid < base:
             return None
         idx = tid - base
-        if idx < len(self.special_tokens):
-            return self.special_tokens[idx]
+        if idx < len(self._special_tokens):
+            return self._special_tokens[idx]
         return None
 
     def id_to_base_token(self, tid: int) -> Optional[ScoredToken]:
@@ -155,19 +155,23 @@ class Tokenizer:
 
     def is_special(self, tid: int) -> bool:
         base = self.model.vocab_size()
-        return tid >= base and (tid - base) < len(self.special_tokens)
+        return tid >= base and (tid - base) < len(self._special_tokens)
 
     def is_base(self, tid: int) -> bool:
         return tid < self.model.vocab_size()
 
+    def special_tokens(self) -> List[str]:
+        """Reference: src/tokenizer.rs:245-247 (returns a copy)."""
+        return list(self._special_tokens)
+
     def vocab_size(self) -> int:
-        return self.model.vocab_size() + len(self.special_tokens)
+        return self.model.vocab_size() + len(self._special_tokens)
 
     def base_vocab_size(self) -> int:
         return self.model.vocab_size()
 
     def special_vocab_size(self) -> int:
-        return len(self.special_tokens)
+        return len(self._special_tokens)
 
     def common_prefix_search(self, text: str):
         return self.model.common_prefix_search(text.encode("utf-8"))
@@ -177,7 +181,7 @@ class Tokenizer:
     def to_json_obj(self) -> dict:
         return {
             "version": SERIALIZATION_VERSION,
-            "special_tokens": list(self.special_tokens),
+            "special_tokens": list(self._special_tokens),
             "processors": [p.to_json_obj() for p in self.processors],
             "vocab": [t.to_json_obj() for t in self.model.vocab],
         }
@@ -227,7 +231,7 @@ class Tokenizer:
         other = Tokenizer.from_str(state)
         self.model = other.model
         self.processors = other.processors
-        self.special_tokens = other.special_tokens
+        self._special_tokens = other._special_tokens
         self.special_tokens_map = other.special_tokens_map
 
     def __reduce__(self):

@@ -62,8 +62,20 @@ class DeviceBatch:
 
 @dataclasses.dataclass(frozen=True)
 class DeviceTables:
-    t1: jax.Array  # (H, 4) int32
-    t2: jax.Array  # (H, 4) int32
+    """Cuckoo tables as FLAT arrays (structure-of-arrays).
+
+    Row-shaped (H, 4) tables force gather outputs with a tiny minor
+    dimension, which the TPU pads to full (8, 128) tiles — flat arrays
+    keep every gather output in the batch's natural layout. len+id are
+    packed into one int32 (len << 24 | id) to save a gather per probe.
+    """
+
+    t1_fp1: jax.Array  # (H,) int32
+    t1_fp2: jax.Array
+    t1_idlen: jax.Array  # (H,) int32: (len << 24) | id; -1 empty
+    t2_fp1: jax.Array
+    t2_fp2: jax.Array
+    t2_idlen: jax.Array
     scores: jax.Array  # (V,) float
     bits: int
     max_len: int
@@ -72,9 +84,27 @@ class DeviceTables:
     @staticmethod
     def from_table(tbl: TokenTable, dtype=jnp.float32) -> "DeviceTables":
         scores = tbl.scores_f64 if dtype == jnp.float64 else tbl.scores
+
+        def split(t: np.ndarray):
+            fp1 = t[:, 0].astype(np.uint32)
+            fp2 = t[:, 1].astype(np.uint32)
+            length = t[:, 2].astype(np.uint32)
+            tid = t[:, 3].astype(np.uint32)
+            empty = tid == np.uint32(0xFFFFFFFF)
+            idlen = (length << np.uint32(24)) | (tid & np.uint32(0xFFFFFF))
+            idlen = np.where(empty, np.uint32(0xFFFFFFFF), idlen)
+            return (
+                jnp.asarray(fp1.view(np.int32)),
+                jnp.asarray(fp2.view(np.int32)),
+                jnp.asarray(idlen.view(np.int32)),
+            )
+
+        f1, g1, il1 = split(tbl.t1)
+        f2, g2, il2 = split(tbl.t2)
+        assert tbl.vocab_size < (1 << 24), "id packing needs vocab < 16M"
         return DeviceTables(
-            t1=jnp.asarray(tbl.t1.view(np.int32)),
-            t2=jnp.asarray(tbl.t2.view(np.int32)),
+            t1_fp1=f1, t1_fp2=g1, t1_idlen=il1,
+            t2_fp1=f2, t2_fp2=g2, t2_idlen=il2,
             scores=jnp.asarray(scores.astype(dtype)),
             bits=tbl.bits,
             max_len=tbl.max_token_len,
@@ -128,29 +158,39 @@ def _is_end_from_spans(packed: PackedBatch) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _probe(tbl: DeviceTables, fp1, fp2, lens):
-    """Cuckoo lookup. fp1/fp2: (..., L) int32; lens: (L,) int32.
+def _probe_flat(tbl: DeviceTables, fp1, fp2, l: int):
+    """Cuckoo lookup for one token length. fp1/fp2: (B, n) int32.
 
-    Returns (id, found): id is -1 when not found.
+    Returns ids (B, n) int32, -1 when not found. All gathers are flat
+    (table (H,), index (B, n)) so outputs keep the batch layout.
     """
-    a1 = np.int32(np.uint32(H.IDX_A1).view(np.int32))
+    a1 = np.int32(np.uint32((int(H.IDX_A1) * l) & 0xFFFFFFFF).view(np.int32))
     m1 = np.int32(np.uint32(H.IDX_M1).view(np.int32))
-    a2 = np.int32(np.uint32(H.IDX_A2).view(np.int32))
+    a2 = np.int32(np.uint32((int(H.IDX_A2) * l) & 0xFFFFFFFF).view(np.int32))
     m2 = np.int32(np.uint32(H.IDX_M2).view(np.int32))
-    shift = 32 - tbl.bits
+    shift = jnp.int32(32 - tbl.bits)
 
-    u1 = (fp1 ^ (lens * a1)) * m1
-    idx1 = jax.lax.shift_right_logical(u1, jnp.int32(shift))
-    u2 = (fp2 ^ (lens * a2)) * m2
-    idx2 = jax.lax.shift_right_logical(u2, jnp.int32(shift))
+    idx1 = jax.lax.shift_right_logical((fp1 ^ a1) * m1, shift)
+    idx2 = jax.lax.shift_right_logical((fp2 ^ a2) * m2, shift)
 
-    e1 = jnp.take(tbl.t1, idx1, axis=0)  # (..., L, 4)
-    e2 = jnp.take(tbl.t2, idx2, axis=0)
-
-    match1 = (e1[..., 0] == fp1) & (e1[..., 1] == fp2) & (e1[..., 2] == lens)
-    match2 = (e2[..., 0] == fp1) & (e2[..., 1] == fp2) & (e2[..., 2] == lens)
-
-    ids = jnp.where(match1, e1[..., 3], jnp.where(match2, e2[..., 3], -1))
+    want_idlen_hi = l  # matched entry must have len == l
+    e1_fp1 = jnp.take(tbl.t1_fp1, idx1, axis=0)
+    e1_fp2 = jnp.take(tbl.t1_fp2, idx1, axis=0)
+    e1_il = jnp.take(tbl.t1_idlen, idx1, axis=0)
+    match1 = (
+        (e1_fp1 == fp1) & (e1_fp2 == fp2)
+        & (jax.lax.shift_right_logical(e1_il, jnp.int32(24)) == want_idlen_hi)
+    )
+    e2_fp1 = jnp.take(tbl.t2_fp1, idx2, axis=0)
+    e2_fp2 = jnp.take(tbl.t2_fp2, idx2, axis=0)
+    e2_il = jnp.take(tbl.t2_idlen, idx2, axis=0)
+    match2 = (
+        (e2_fp1 == fp1) & (e2_fp2 == fp2)
+        & (jax.lax.shift_right_logical(e2_il, jnp.int32(24)) == want_idlen_hi)
+    )
+    ids = jnp.where(
+        match1, e1_il & 0xFFFFFF, jnp.where(match2, e2_il & 0xFFFFFF, -1)
+    )
     return ids
 
 
@@ -166,9 +206,11 @@ def _match_slab(
 ) -> Tuple[jax.Array, jax.Array]:
     """Start-indexed match arrays for global positions [start, start+n_pos).
 
-    Returns (score, ids) of shape (B, n_pos, L) where slot j holds the
-    token of length l=j+1 beginning at that position (score -inf / id -1
-    when no vocabulary token matches).
+    Returns (score, ids) of shape (B, L, n_pos) where row j holds the
+    token of length l=j+1 beginning at each position (score -inf / id -1
+    when no vocabulary token matches). Layout note: n_pos stays the
+    minor dimension throughout so every gather/elementwise op runs on
+    full 128-lane tiles.
     """
     B = batch.p1.shape[0]
     off = batch.pad + start  # offset into padded arrays
@@ -177,50 +219,48 @@ def _match_slab(
     p1s = jax.lax.dynamic_slice(batch.p1, (0, off), (B, n_pos + L))
     p2s = jax.lax.dynamic_slice(batch.p2, (0, off), (B, n_pos + L))
     sids = jax.lax.dynamic_slice(batch.sid, (0, off), (B, n_pos + L))
-    rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))
-    rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))
+    rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))[None, :]
+    rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))[None, :]
 
     base1 = p1s[:, :n_pos]  # P[p]
     base2 = p2s[:, :n_pos]
     sid0 = sids[:, :n_pos]
+    valid_pos = sid0 >= 0
 
-    # (B, n_pos, L) stacked shifted views: slot j uses P[p + j + 1].
-    end1 = jnp.stack([p1s[:, j + 1 : j + 1 + n_pos] for j in range(L)], axis=-1)
-    end2 = jnp.stack([p2s[:, j + 1 : j + 1 + n_pos] for j in range(L)], axis=-1)
-    sid_last = jnp.stack([sids[:, j : j + n_pos] for j in range(L)], axis=-1)
-
-    fp1 = (end1 - base1[..., None]) * rinv1[None, :, None]
-    fp2 = (end2 - base2[..., None]) * rinv2[None, :, None]
-
-    lens = jnp.arange(1, L + 1, dtype=jnp.int32)
-    valid = (sid0[..., None] >= 0) & (sid_last == sid0[..., None])
-
+    du = None
+    threshold = None
     if dropout > 0.0 and drop_u is not None:
         du = jax.lax.dynamic_slice(drop_u, (0, off), (B, n_pos))
-        # Per-(p, l) uniform derived by remixing the per-position word.
-        odd = jnp.asarray(
-            np.arange(1, L + 1, dtype=np.int64) * 2654435761 % (1 << 32),
-            dtype=np.uint32,
-        ).view(np.int32)
-        u = du[..., None] * odd[None, None, :]
         threshold = np.int32(
             np.uint32(min(int(dropout * (1 << 32)), (1 << 32) - 1)).view(np.int32)
         )
-        uu = jax.lax.shift_right_logical(u, jnp.int32(1))
-        tt = jax.lax.shift_right_logical(
-            jnp.full_like(u, threshold), jnp.int32(1)
-        )
-        dropped = (uu < tt) & (lens[None, None, :] > 1)
-        valid = valid & ~dropped
 
-    ids = _probe(tbl, fp1, fp2, lens[None, None, :])
-    ids = jnp.where(valid, ids, -1)
-    found = ids >= 0
-    score = jnp.where(
-        found,
-        jnp.take(tbl.scores, jnp.maximum(ids, 0), axis=0),
-        jnp.array(NEG_INF, dtype=tbl.scores.dtype),
-    ).astype(dtype)
+    score_rows = []
+    id_rows = []
+    neg = jnp.array(NEG_INF, dtype=tbl.scores.dtype)
+    for j in range(L):
+        l = j + 1
+        fp1 = (p1s[:, l : l + n_pos] - base1) * rinv1
+        fp2 = (p2s[:, l : l + n_pos] - base2) * rinv2
+        valid = valid_pos & (sids[:, j : j + n_pos] == sid0)
+        if du is not None and l > 1:
+            odd = np.int32(np.uint32((l * 2654435761) & 0xFFFFFFFF).view(np.int32))
+            u = jax.lax.shift_right_logical(du * odd, jnp.int32(1))
+            tt = jax.lax.shift_right_logical(
+                jnp.full_like(u, threshold), jnp.int32(1)
+            )
+            valid = valid & ~(u < tt)
+        ids_j = _probe_flat(tbl, fp1, fp2, l)
+        ids_j = jnp.where(valid, ids_j, -1)
+        found = ids_j >= 0
+        score_j = jnp.where(
+            found, jnp.take(tbl.scores, jnp.maximum(ids_j, 0), axis=0), neg
+        ).astype(dtype)
+        score_rows.append(score_j)
+        id_rows.append(ids_j)
+
+    score = jnp.stack(score_rows, axis=1)  # (B, L, n_pos)
+    ids = jnp.stack(id_rows, axis=1)
     return score, ids
 
 
@@ -240,29 +280,29 @@ def _forward_chunk(tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout):
     """Match + end-indexed view for one chunk of C dp steps.
 
     dp step q in [0, C) corresponds to dp index p = chunk_start + q + 1.
-    Slot j of the end view holds the token of length l=j+1 ENDING at p,
-    i.e. starting at p - l = chunk_start + q - j.
+    Row j of the end view holds the token of length l=j+1 ENDING at p,
+    i.e. starting at p - l = chunk_start + q - j (slab index L + q - j).
+
+    Returns (score_e, ids_e) of shape (B, L, C), minor dim = positions.
     """
     # Start-indexed slab for positions [chunk_start - L, chunk_start + C).
     score_s, ids_s = _match_slab(
         tbl, batch, chunk_start - L, C + L, L, drop_u, dropout, dtype
     )
-    # dp step q maps to dp index p = q+1; a token of length l = j+1
-    # ending at p starts at global position q - j = slab index L + q - j.
     score_e = jnp.stack(
-        [score_s[:, L - j : L - j + C, j] for j in range(L)], axis=-1
+        [score_s[:, j, L - j : L - j + C] for j in range(L)], axis=1
     )
     ids_e = jnp.stack(
-        [ids_s[:, L - j : L - j + C, j] for j in range(L)], axis=-1
+        [ids_s[:, j, L - j : L - j + C] for j in range(L)], axis=1
     )
     return score_e, ids_e
 
 
 def _to_groups(x):
-    """(B, C, L) -> (G, C, L, 128) lane-group layout for Pallas."""
-    B, C, L = x.shape
+    """(B, L, C) -> (G, C, L, 128) lane-group layout for Pallas."""
+    B, L, C = x.shape
     G = B // 128
-    return jnp.transpose(x.reshape(G, 128, C, L), (0, 2, 3, 1))
+    return jnp.transpose(x.reshape(G, 128, L, C), (0, 3, 2, 1))
 
 
 def _rows_to_groups(x):
@@ -369,8 +409,8 @@ def _scan_forward(
             return h, out
 
         xs = (
-            jnp.moveaxis(score_e, 1, 0),
-            jnp.moveaxis(ids_e, 1, 0),
+            jnp.moveaxis(score_e, 2, 0),
+            jnp.moveaxis(ids_e, 2, 0),
             jnp.moveaxis(starts, 1, 0),
         )
         hist, outs = jax.lax.scan(step, hist, xs, unroll=min(unroll, C))
@@ -487,9 +527,9 @@ def backward_expected(
                 score_g, a_g, z_g, ends_g, hist_g,
                 interpret=_pallas_interpret(),
             )
-            # (G, C, L, 128) -> (B, C, L)
+            # (G, C, L, 128) -> (B, L, C)
             Gn = marg_g.shape[0]
-            margs = jnp.transpose(marg_g, (0, 3, 1, 2)).reshape(B, C, L)
+            margs = jnp.transpose(marg_g, (0, 3, 2, 1)).reshape(B, L, C)
             margs = jnp.where(ids_s >= 0, margs, 0.0)
             hist = _hist_from_groups(hist_g)
             idss = ids_s
@@ -506,8 +546,8 @@ def backward_expected(
                 return h, (marg, ids)
 
             xs = (
-                jnp.moveaxis(score_s, 1, 0)[::-1],
-                jnp.moveaxis(ids_s, 1, 0)[::-1],
+                jnp.moveaxis(score_s, 2, 0)[::-1],
+                jnp.moveaxis(ids_s, 2, 0)[::-1],
                 jnp.moveaxis(ends, 1, 0)[::-1],
                 jnp.moveaxis(a_c, 1, 0)[::-1],
                 jnp.moveaxis(z_c, 1, 0)[::-1],

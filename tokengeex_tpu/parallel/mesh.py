@@ -45,7 +45,7 @@ def distributed_initialize(**kwargs) -> None:
 
 
 def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
-                   dropout: float = 0.0):
+                   dropout: float = 0.0, kernel: str = "xla"):
     """Build a jitted, mesh-sharded E-step over packed batch arrays.
 
     Returns fn(p1, p2, sid, is_start, is_end, end_index, drop_u)
@@ -71,9 +71,10 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
             width=width, pad=L,
         )
         A = lj.forward(dt, batch, C=chunk, dtype=dtype,
-                       drop_u=drop_u, dropout=dropout)
+                       drop_u=drop_u, dropout=dropout, backend=kernel)
         expected = lj.backward_expected(dt, batch, A, C=chunk, dtype=dtype,
-                                        drop_u=drop_u, dropout=dropout)
+                                        drop_u=drop_u, dropout=dropout,
+                                        backend=kernel)
         expected = jax.lax.psum(expected, axis)
         return A, expected
 
@@ -90,7 +91,8 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     return jax.jit(sharded)
 
 
-def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype):
+def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
+                    kernel: str = "xla"):
     """Mesh-sharded Viterbi over packed rows: returns
     fn(batch arrays) -> (dp, best_l, best_id), all row-sharded."""
     import jax
@@ -108,7 +110,7 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype):
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
-        return lj.viterbi(dt, batch, C=chunk, dtype=dtype)
+        return lj.viterbi(dt, batch, C=chunk, dtype=dtype, backend=kernel)
 
     sharded = shard_map(
         local_step,

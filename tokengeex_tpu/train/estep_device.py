@@ -59,6 +59,12 @@ def _slice_packed(packed: PackedBatch, r0: int, r1: int) -> PackedBatch:
     )
 
 
+def _default_backend() -> str:
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def run_e_step_device(
     model: Model,
     samples: Sequence[bytes],
@@ -67,24 +73,45 @@ def run_e_step_device(
     task=None,
     dtype=None,
     seed: int = 0,
+    kernel: Optional[str] = None,
 ) -> np.ndarray:
-    """Expected token counts over the corpus (reference: src/prune.rs:64-120)."""
+    """Expected token counts over the corpus (reference: src/prune.rs:64-120).
+
+    Row groups are sharded over all local devices (1-D data mesh) with
+    the per-token expected counts psum-reduced — the TPU-native
+    equivalent of the reference's rayon + RwLock merge
+    (reference: src/prune.rs:65-112).
+    """
     import jax
     import jax.numpy as jnp
 
+    from ..parallel import mesh as pmesh
+
     if dtype is None:
         dtype = jnp.float32
+    kernel = kernel or _default_backend()
     tbl = TokenTable.build(model.vocab)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
     width = _pick_width(samples, max_snippet)
     packed = pack_samples(samples, width=width, max_snippet=max_snippet)
 
+    n_dev = len(jax.devices())
+    use_mesh = n_dev > 1
+    row_mult = n_dev * 128 if kernel == "pallas" else n_dev
+    if use_mesh:
+        mesh = pmesh.get_mesh()
+        step = pmesh.sharded_e_step(dt, mesh, width=width, chunk=CHUNK,
+                                    dtype=dtype, dropout=dropout,
+                                    kernel=kernel)
+
     expected = np.zeros(tbl.vocab_size, dtype=np.float64)
     key = jax.random.PRNGKey(seed)
 
     for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
         sub = _slice_packed(packed, r0, r1)
+        if use_mesh or kernel == "pallas":
+            sub = pmesh.pad_rows_to_multiple(sub, row_mult)
         batch = lj.prepare_batch(sub, L)
         drop_u = None
         if dropout > 0.0:
@@ -93,10 +120,17 @@ def run_e_step_device(
                 sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
                 minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
             )
-        A = lj.forward(dt, batch, C=CHUNK, dtype=dtype,
-                       drop_u=drop_u, dropout=dropout)
-        exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
-                                     drop_u=drop_u, dropout=dropout)
+        if use_mesh:
+            args = pmesh.batch_to_arrays(batch)
+            if dropout > 0.0:
+                args = args + (drop_u,)
+            A, exp_g = step(*args)
+        else:
+            A = lj.forward(dt, batch, C=CHUNK, dtype=dtype,
+                           drop_u=drop_u, dropout=dropout, backend=kernel)
+            exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
+                                         drop_u=drop_u, dropout=dropout,
+                                         backend=kernel)
         A_np = np.asarray(A)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         for (r, s, e, si, ci) in sub.spans:
@@ -118,24 +152,44 @@ def encode_corpus_device(
     samples: Sequence[bytes],
     task=None,
     dtype=None,
+    kernel: Optional[str] = None,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
-    including NoPath (reference: src/model.rs:59-129)."""
+    including NoPath (reference: src/model.rs:59-129). Rows shard over
+    all local devices when more than one is present."""
+    import jax
     import jax.numpy as jnp
+
+    from ..parallel import mesh as pmesh
 
     if dtype is None:
         dtype = jnp.float32
+    kernel = kernel or _default_backend()
     tbl = TokenTable.build(model.vocab)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
     width = _pick_width(samples, None)
     packed = pack_samples(samples, width=width, max_snippet=None)
 
+    n_dev = len(jax.devices())
+    use_mesh = n_dev > 1
+    row_mult = n_dev * 128 if kernel == "pallas" else n_dev
+    if use_mesh:
+        mesh = pmesh.get_mesh()
+        vit = pmesh.sharded_viterbi(dt, mesh, width=width, chunk=CHUNK,
+                                    dtype=dtype, kernel=kernel)
+
     per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
     for r0, r1 in _row_groups(packed, width):
         sub = _slice_packed(packed, r0, r1)
+        if use_mesh or kernel == "pallas":
+            sub = pmesh.pad_rows_to_multiple(sub, row_mult)
         batch = lj.prepare_batch(sub, L)
-        dp, best_l, best_id = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype)
+        if use_mesh:
+            dp, best_l, best_id = vit(*pmesh.batch_to_arrays(batch))
+        else:
+            dp, best_l, best_id = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
+                                             backend=kernel)
         spans = lj.backtrack(sub, np.asarray(dp), np.asarray(best_l),
                              np.asarray(best_id))
         for (r, s, e, si, ci), ids in zip(sub.spans, spans):
