@@ -41,7 +41,8 @@ def build_corpus(nbytes: int):
         lines.append(line)
         size += len(line) + 1
     text = "\n".join(lines).encode()[:nbytes]
-    return [bytes(text[i : i + 6000]) for i in range(0, len(text), 6000)]
+    # 2048-byte samples pack dense into width-8192 rows.
+    return [bytes(text[i : i + 2048]) for i in range(0, len(text), 2048)]
 
 
 def main():
@@ -89,18 +90,22 @@ def main():
     dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float32)
     L = dt.max_len
 
+    kernel = "pallas" if platform == "tpu" else "xla"
     t0 = time.time()
-    packed = pack_samples(samples, width=width, row_multiple=8)
+    packed = pack_samples(samples, width=width, row_multiple=128)
     batch = lj.prepare_batch(packed, L)
+    jax.block_until_ready(batch.p1)
     prep_s = time.time() - t0
-    log(f"packed {packed.rows} x {width} rows (prep {prep_s:.2f}s)")
+    log(f"packed {packed.rows} x {width} rows (prep {prep_s:.2f}s, "
+        f"kernel={kernel})")
 
     @jax.jit
     def vit(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
         b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
                            is_end=is_end, end_index=end_index,
                            rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-        return lj.viterbi(dt, b, C=512, unroll=8, dtype=jnp.float32)
+        return lj.viterbi(dt, b, C=512, unroll=8, dtype=jnp.float32,
+                          backend=kernel)
 
     args = (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,
             batch.end_index, batch.rinv1, batch.rinv2)

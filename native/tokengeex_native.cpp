@@ -52,6 +52,14 @@ struct Model {
   std::vector<double> scores;
   std::vector<std::vector<uint8_t>> tokens;
   int max_token_len = 1;
+  // Direct-indexed children of the root: every trie walk starts here,
+  // so the root's O(children) scan is the hottest lookup by far.
+  int32_t root_children[256];
+
+  int32_t step(int32_t node, uint8_t b) const {
+    if (node == 0) return root_children[b];
+    return nodes[node].find(b);
+  }
 
   void build(const uint8_t* data, const int64_t* offsets,
              const double* score_arr, int64_t vocab_size) {
@@ -60,6 +68,7 @@ struct Model {
     scores.assign(score_arr, score_arr + vocab_size);
     tokens.resize(vocab_size);
     max_token_len = 1;
+    for (int i = 0; i < 256; ++i) root_children[i] = -1;
     for (int64_t id = 0; id < vocab_size; ++id) {
       const uint8_t* begin = data + offsets[id];
       int len = static_cast<int>(offsets[id + 1] - offsets[id]);
@@ -79,6 +88,7 @@ struct Model {
       nodes[cur].token_id = static_cast<int32_t>(id);
       nodes[cur].token_len = len;
     }
+    for (const auto& kv : nodes[0].children) root_children[kv.first] = kv.second;
   }
 };
 
@@ -114,7 +124,7 @@ int64_t viterbi_encode(const Model& m, const uint8_t* input, int64_t n,
     int32_t cur = 0;
     int64_t limit = std::min<int64_t>(n - pos, m.max_token_len);
     for (int64_t i = 0; i < limit; ++i) {
-      cur = m.nodes[cur].find(input[pos + i]);
+      cur = m.step(cur, input[pos + i]);
       if (cur < 0) break;
       int32_t tid = m.nodes[cur].token_id;
       if (tid < 0) continue;
@@ -171,7 +181,7 @@ struct Lattice {
       int32_t cur = 0;
       int64_t limit = std::min<int64_t>(n - pos, m.max_token_len);
       for (int64_t i = 0; i < limit; ++i) {
-        cur = m.nodes[cur].find(input[pos + i]);
+        cur = m.step(cur, input[pos + i]);
         if (cur < 0) break;
         int32_t tid = m.nodes[cur].token_id;
         if (tid < 0) continue;

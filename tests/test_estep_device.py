@@ -90,3 +90,18 @@ def test_device_estep_with_dropout_is_sane(setup, monkeypatch):
     e2 = ed.run_e_step_device(model, samples, dropout=0.3, max_snippet=256,
                               dtype=jnp.float64, seed=7)
     np.testing.assert_array_equal(e, e2)
+
+
+def test_tokenizer_device_batch_encode():
+    from tokengeex_tpu import Tokenizer
+
+    vocab = [ScoredToken(bytes([b]), -10.0) for b in range(256)]
+    vocab += [ScoredToken(w, -3.0) for w in (b"def ", b"return", b" x")]
+    tok = Tokenizer(Model(vocab), [], ["<|eos|>"])
+    texts = ["def f():<|eos|>return x", "return<|eos|>", "<|eos|>"]
+    got = tok.encode_batch(texts, backend="device")
+    want = [tok.encode(t) for t in texts]
+    assert got == want
+    got_ord = tok.encode_ordinary_batch(texts, backend="device")
+    want_ord = [tok.encode_ordinary(t) for t in texts]
+    assert got_ord == want_ord

@@ -73,11 +73,61 @@ class Tokenizer:
             processed = p.preprocess(processed)
         return self.model.encode(processed, dropout, rng)
 
-    def encode_batch(self, texts: Sequence[str], dropout: float = 0.0) -> List[List[int]]:
+    def encode_batch(self, texts: Sequence[str], dropout: float = 0.0,
+                     backend: str = "auto") -> List[List[int]]:
+        """Batch encode (reference: src/tokenizer.rs:102-111).
+
+        backend="device" runs the Viterbi segmentation of all ordinary
+        spans as one packed TPU batch; "auto"/"native" use the threaded
+        C++ runtime (or the oracle).
+        """
+        if backend == "device" and dropout == 0.0:
+            return self._encode_batch_device(texts, ordinary=False)
         return [self.encode(t, dropout) for t in texts]
 
-    def encode_ordinary_batch(self, texts: Sequence[str], dropout: float = 0.0) -> List[List[int]]:
+    def encode_ordinary_batch(self, texts: Sequence[str], dropout: float = 0.0,
+                              backend: str = "auto") -> List[List[int]]:
+        if backend == "device" and dropout == 0.0:
+            return self._encode_batch_device(texts, ordinary=True)
         return [self.encode_ordinary(t, dropout) for t in texts]
+
+    def _encode_batch_device(self, texts: Sequence[str],
+                             ordinary: bool) -> List[List[int]]:
+        """Gather every ordinary span across the batch, Viterbi-encode
+        them as one packed device batch, and stitch special ids back."""
+        from ..train.estep_device import encode_corpus_device
+
+        base = self.model.vocab_size()
+        layout: List[List] = []  # per text: list of ("special", id) | ("span", idx)
+        spans: List[bytes] = []
+        for text in texts:
+            parts = []
+            pieces = (
+                [(text, False)] if ordinary
+                else split_special_tokens(text, self._special_tokens)
+            )
+            for substr, is_special in pieces:
+                if is_special:
+                    parts.append(("special", base + self.special_tokens_map[substr]))
+                else:
+                    processed = substr
+                    for p in self.processors:
+                        processed = p.preprocess(processed)
+                    parts.append(("span", len(spans)))
+                    spans.append(processed.encode("utf-8"))
+            layout.append(parts)
+
+        encoded = encode_corpus_device(self.model, spans)
+        out: List[List[int]] = []
+        for parts in layout:
+            ids: List[int] = []
+            for kind, val in parts:
+                if kind == "special":
+                    ids.append(val)
+                else:
+                    ids.extend(encoded[val])
+            out.append(ids)
+        return out
 
     # -- Decode ------------------------------------------------------------
 

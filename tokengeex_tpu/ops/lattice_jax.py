@@ -112,37 +112,80 @@ class DeviceTables:
         )
 
 
+_PREP_CONSTS: dict = {}
+
+
+def _prep_consts(W: int, L: int):
+    """Device-resident per-width constants (transferred once)."""
+    key = (W, L)
+    if key not in _PREP_CONSTS:
+        pow1 = H.powers_u32(H.R1, W).view(np.int32)
+        pow2 = H.powers_u32(H.R2, W).view(np.int32)
+        rinv1 = np.pad(H.powers_u32(H.R1_INV, W), (L, 0),
+                       constant_values=1).view(np.int32)
+        rinv2 = np.pad(H.powers_u32(H.R2_INV, W), (L, 0),
+                       constant_values=1).view(np.int32)
+        _PREP_CONSTS[key] = (
+            jnp.asarray(pow1), jnp.asarray(pow2),
+            jnp.asarray(rinv1), jnp.asarray(rinv2),
+        )
+    return _PREP_CONSTS[key]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _device_prep(bytes_u8, flags_u8, consts, L: int):
+    """Derive all DeviceBatch arrays on device from compact host inputs.
+
+    Host -> device transfer is ~2 bytes per corpus byte: the raw bytes
+    plus a flags array (bit0 = sample start at dp index, bit1 = sample
+    end). Prefix hashes, sample ids and end indices are cumsum /
+    reverse-cummin computations done on device — essential when the
+    host link is slow.
+    """
+    pow1, pow2, rinv1, rinv2 = consts
+    B, W = bytes_u8.shape
+    b32 = bytes_u8.astype(jnp.int32)
+    term1 = b32 * pow1[None, :]
+    term2 = b32 * pow2[None, :]
+    zero = jnp.zeros((B, 1), jnp.int32)
+    p1 = jnp.concatenate([zero, jnp.cumsum(term1, axis=1)], axis=1)
+    p2 = jnp.concatenate([zero, jnp.cumsum(term2, axis=1)], axis=1)
+
+    is_start = (flags_u8 & 1).astype(bool)  # (B, W+1)
+    is_end = (flags_u8 & 2).astype(bool)
+
+    starts_cnt = jnp.cumsum(is_start[:, :W].astype(jnp.int32), axis=1)
+    ends_cnt = jnp.cumsum(is_end[:, :W].astype(jnp.int32), axis=1)
+    inside = starts_cnt > ends_cnt
+    sid = jnp.where(inside, starts_cnt - 1, -2)
+
+    # end_index[p] = smallest dp index q >= p+1 with is_end[q].
+    idx = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    marked = jnp.where(is_end, idx, jnp.int32(2**30))
+    next_end = jax.lax.cummin(marked, axis=1, reverse=True)  # (B, W+1)
+    end_index = jnp.where(inside, next_end[:, 1:], 0).astype(jnp.int32)
+
+    pad_cfg = ((0, 0), (L, L))
+    return (
+        jnp.pad(p1, pad_cfg), jnp.pad(p2, pad_cfg),
+        jnp.pad(sid, pad_cfg, constant_values=-2),
+        is_start, is_end, end_index, rinv1, rinv2,
+    )
+
+
 def prepare_batch(packed: PackedBatch, L: int) -> DeviceBatch:
-    """Compute prefix hashes and padded index arrays for a packed batch."""
-    b = packed.bytes_arr.astype(np.uint32)
-    _, W = b.shape
-    pow1 = H.powers_u32(H.R1, W)
-    pow2 = H.powers_u32(H.R2, W)
-    with np.errstate(over="ignore"):
-        term1 = (b * pow1[None, :]).astype(np.uint32)
-        term2 = (b * pow2[None, :]).astype(np.uint32)
-        p1 = np.zeros((b.shape[0], W + 1), dtype=np.uint32)
-        p2 = np.zeros((b.shape[0], W + 1), dtype=np.uint32)
-        np.cumsum(term1, axis=1, dtype=np.uint32, out=p1[:, 1:])
-        np.cumsum(term2, axis=1, dtype=np.uint32, out=p2[:, 1:])
-
-    def pad2(a, before, after, val):
-        return np.pad(a, ((0, 0), (before, after)), constant_values=val)
-
-    rinv1 = H.powers_u32(H.R1_INV, W)
-    rinv2 = H.powers_u32(H.R2_INV, W)
-
+    """Build the device-resident batch from a packed corpus view."""
+    B, W = packed.bytes_arr.shape
+    flags = np.zeros((B, W + 1), dtype=np.uint8)
+    flags[packed.is_start] |= 1
+    flags[_is_end_from_spans(packed)] |= 2
+    consts = _prep_consts(W, L)
+    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2 = _device_prep(
+        jnp.asarray(packed.bytes_arr), jnp.asarray(flags), consts, L
+    )
     return DeviceBatch(
-        p1=jnp.asarray(pad2(p1, L, L, 0).view(np.int32)),
-        p2=jnp.asarray(pad2(p2, L, L, 0).view(np.int32)),
-        sid=jnp.asarray(pad2(packed.sample_id, L, L, -2)),
-        is_start=jnp.asarray(packed.is_start),
-        is_end=jnp.asarray(_is_end_from_spans(packed)),
-        end_index=jnp.asarray(packed.end_index),
-        rinv1=jnp.asarray(np.pad(rinv1, (L, 0), constant_values=1).view(np.int32)),
-        rinv2=jnp.asarray(np.pad(rinv2, (L, 0), constant_values=1).view(np.int32)),
-        width=W,
-        pad=L,
+        p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+        end_index=end_index, rinv1=rinv1, rinv2=rinv2, width=W, pad=L,
     )
 
 
