@@ -201,42 +201,6 @@ def _is_end_from_spans(packed: PackedBatch) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _probe_flat(tbl: DeviceTables, fp1, fp2, l: int):
-    """Cuckoo lookup for one token length. fp1/fp2: (B, n) int32.
-
-    Returns ids (B, n) int32, -1 when not found. All gathers are flat
-    (table (H,), index (B, n)) so outputs keep the batch layout.
-    """
-    a1 = np.int32(np.uint32((int(H.IDX_A1) * l) & 0xFFFFFFFF).view(np.int32))
-    m1 = np.int32(np.uint32(H.IDX_M1).view(np.int32))
-    a2 = np.int32(np.uint32((int(H.IDX_A2) * l) & 0xFFFFFFFF).view(np.int32))
-    m2 = np.int32(np.uint32(H.IDX_M2).view(np.int32))
-    shift = jnp.int32(32 - tbl.bits)
-
-    idx1 = jax.lax.shift_right_logical((fp1 ^ a1) * m1, shift)
-    idx2 = jax.lax.shift_right_logical((fp2 ^ a2) * m2, shift)
-
-    want_idlen_hi = l  # matched entry must have len == l
-    e1_fp1 = jnp.take(tbl.t1_fp1, idx1, axis=0)
-    e1_fp2 = jnp.take(tbl.t1_fp2, idx1, axis=0)
-    e1_il = jnp.take(tbl.t1_idlen, idx1, axis=0)
-    match1 = (
-        (e1_fp1 == fp1) & (e1_fp2 == fp2)
-        & (jax.lax.shift_right_logical(e1_il, jnp.int32(24)) == want_idlen_hi)
-    )
-    e2_fp1 = jnp.take(tbl.t2_fp1, idx2, axis=0)
-    e2_fp2 = jnp.take(tbl.t2_fp2, idx2, axis=0)
-    e2_il = jnp.take(tbl.t2_idlen, idx2, axis=0)
-    match2 = (
-        (e2_fp1 == fp1) & (e2_fp2 == fp2)
-        & (jax.lax.shift_right_logical(e2_il, jnp.int32(24)) == want_idlen_hi)
-    )
-    ids = jnp.where(
-        match1, e1_il & 0xFFFFFF, jnp.where(match2, e2_il & 0xFFFFFF, -1)
-    )
-    return ids
-
-
 def _match_slab(
     tbl: DeviceTables,
     batch: DeviceBatch,
@@ -251,9 +215,12 @@ def _match_slab(
 
     Returns (score, ids) of shape (B, L, n_pos) where row j holds the
     token of length l=j+1 beginning at each position (score -inf / id -1
-    when no vocabulary token matches). Layout note: n_pos stays the
-    minor dimension throughout so every gather/elementwise op runs on
-    full 128-lane tiles.
+    when no vocabulary token matches).
+
+    Performance shape: n_pos stays the MINOR dimension of every array
+    (full 128-lane tiles), and the whole slab uses exactly 7 gather ops
+    (3 per cuckoo table + 1 score lookup) on (B, L, n_pos) batched
+    indices — per-length gathers would blow up XLA compile time.
     """
     B = batch.p1.shape[0]
     off = batch.pad + start  # offset into padded arrays
@@ -262,48 +229,76 @@ def _match_slab(
     p1s = jax.lax.dynamic_slice(batch.p1, (0, off), (B, n_pos + L))
     p2s = jax.lax.dynamic_slice(batch.p2, (0, off), (B, n_pos + L))
     sids = jax.lax.dynamic_slice(batch.sid, (0, off), (B, n_pos + L))
-    rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))[None, :]
-    rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))[None, :]
+    rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))[None, None, :]
+    rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))[None, None, :]
 
-    base1 = p1s[:, :n_pos]  # P[p]
-    base2 = p2s[:, :n_pos]
-    sid0 = sids[:, :n_pos]
-    valid_pos = sid0 >= 0
+    base1 = p1s[:, None, :n_pos]  # P[p]
+    base2 = p2s[:, None, :n_pos]
+    sid0 = sids[:, None, :n_pos]
 
-    du = None
-    threshold = None
+    # (B, L, n_pos) stacked shifted views (slices + concat, no gathers).
+    end1 = jnp.stack([p1s[:, l : l + n_pos] for l in range(1, L + 1)], axis=1)
+    end2 = jnp.stack([p2s[:, l : l + n_pos] for l in range(1, L + 1)], axis=1)
+    sid_last = jnp.stack([sids[:, j : j + n_pos] for j in range(L)], axis=1)
+
+    fp1 = (end1 - base1) * rinv1
+    fp2 = (end2 - base2) * rinv2
+    valid = (sid0 >= 0) & (sid_last == sid0)
+
     if dropout > 0.0 and drop_u is not None:
-        du = jax.lax.dynamic_slice(drop_u, (0, off), (B, n_pos))
+        du = jax.lax.dynamic_slice(drop_u, (0, off), (B, n_pos))[:, None, :]
+        odd = np.asarray(
+            (np.arange(1, L + 1, dtype=np.int64) * 2654435761) % (1 << 32),
+            dtype=np.uint32,
+        ).view(np.int32)
+        u = jax.lax.shift_right_logical(du * odd[None, :, None], jnp.int32(1))
         threshold = np.int32(
             np.uint32(min(int(dropout * (1 << 32)), (1 << 32) - 1)).view(np.int32)
         )
+        tt = jax.lax.shift_right_logical(jnp.full_like(u, threshold),
+                                         jnp.int32(1))
+        lens_col = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :, None]
+        valid = valid & ~((u < tt) & (lens_col > 1))
 
-    score_rows = []
-    id_rows = []
+    # Slot index derivation; per-length mix constants broadcast on axis 1.
+    a1 = np.asarray(
+        (np.arange(1, L + 1, dtype=np.int64) * int(H.IDX_A1)) % (1 << 32),
+        dtype=np.uint32,
+    ).view(np.int32)
+    a2 = np.asarray(
+        (np.arange(1, L + 1, dtype=np.int64) * int(H.IDX_A2)) % (1 << 32),
+        dtype=np.uint32,
+    ).view(np.int32)
+    m1 = np.int32(np.uint32(H.IDX_M1).view(np.int32))
+    m2 = np.int32(np.uint32(H.IDX_M2).view(np.int32))
+    shift = jnp.int32(32 - tbl.bits)
+    idx1 = jax.lax.shift_right_logical((fp1 ^ a1[None, :, None]) * m1, shift)
+    idx2 = jax.lax.shift_right_logical((fp2 ^ a2[None, :, None]) * m2, shift)
+
+    lens = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :, None]
+    e1_fp1 = jnp.take(tbl.t1_fp1, idx1, axis=0)
+    e1_fp2 = jnp.take(tbl.t1_fp2, idx1, axis=0)
+    e1_il = jnp.take(tbl.t1_idlen, idx1, axis=0)
+    match1 = (
+        (e1_fp1 == fp1) & (e1_fp2 == fp2)
+        & (jax.lax.shift_right_logical(e1_il, jnp.int32(24)) == lens)
+    )
+    e2_fp1 = jnp.take(tbl.t2_fp1, idx2, axis=0)
+    e2_fp2 = jnp.take(tbl.t2_fp2, idx2, axis=0)
+    e2_il = jnp.take(tbl.t2_idlen, idx2, axis=0)
+    match2 = (
+        (e2_fp1 == fp1) & (e2_fp2 == fp2)
+        & (jax.lax.shift_right_logical(e2_il, jnp.int32(24)) == lens)
+    )
+    ids = jnp.where(
+        match1, e1_il & 0xFFFFFF, jnp.where(match2, e2_il & 0xFFFFFF, -1)
+    )
+    ids = jnp.where(valid, ids, -1)
+    found = ids >= 0
     neg = jnp.array(NEG_INF, dtype=tbl.scores.dtype)
-    for j in range(L):
-        l = j + 1
-        fp1 = (p1s[:, l : l + n_pos] - base1) * rinv1
-        fp2 = (p2s[:, l : l + n_pos] - base2) * rinv2
-        valid = valid_pos & (sids[:, j : j + n_pos] == sid0)
-        if du is not None and l > 1:
-            odd = np.int32(np.uint32((l * 2654435761) & 0xFFFFFFFF).view(np.int32))
-            u = jax.lax.shift_right_logical(du * odd, jnp.int32(1))
-            tt = jax.lax.shift_right_logical(
-                jnp.full_like(u, threshold), jnp.int32(1)
-            )
-            valid = valid & ~(u < tt)
-        ids_j = _probe_flat(tbl, fp1, fp2, l)
-        ids_j = jnp.where(valid, ids_j, -1)
-        found = ids_j >= 0
-        score_j = jnp.where(
-            found, jnp.take(tbl.scores, jnp.maximum(ids_j, 0), axis=0), neg
-        ).astype(dtype)
-        score_rows.append(score_j)
-        id_rows.append(ids_j)
-
-    score = jnp.stack(score_rows, axis=1)  # (B, L, n_pos)
-    ids = jnp.stack(id_rows, axis=1)
+    score = jnp.where(
+        found, jnp.take(tbl.scores, jnp.maximum(ids, 0), axis=0), neg
+    ).astype(dtype)
     return score, ids
 
 
