@@ -92,7 +92,8 @@ def main():
 
     kernel = "pallas" if platform == "tpu" else "xla"
     t0 = time.time()
-    packed = pack_samples(samples, width=width, row_multiple=128)
+    packed = pack_samples(samples, width=width, max_snippet=width,
+                          row_multiple=128)
     batch = lj.prepare_batch(packed, L)
     jax.block_until_ready(batch.p1)
     prep_s = time.time() - t0
@@ -104,8 +105,8 @@ def main():
         b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
                            is_end=is_end, end_index=end_index,
                            rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-        return lj.viterbi(dt, b, C=512, unroll=8, dtype=jnp.float32,
-                          backend=kernel)
+        return lj.viterbi(dt, b, C=min(512, width), unroll=8,
+                          dtype=jnp.float32, backend=kernel)
 
     args = (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,
             batch.end_index, batch.rinv1, batch.rinv2)

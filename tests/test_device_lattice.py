@@ -65,19 +65,26 @@ def test_match_table_lookup_roundtrip():
     samples = [t.value for t in vocab]
     packed = pack_samples(samples, width=64)
     batch = lj.prepare_batch(packed, dt.max_len)
-    score, ids = lj._match_slab(dt, batch, 0, packed.width, dt.max_len)
+    score, ids = lj._match_slab(dt, batch, 0, packed.width, dt.max_len,
+                                mode="exact")
     ids = np.asarray(ids)  # (B, L, n_pos)
+    score_f, slots = lj._match_slab(dt, batch, 0, packed.width, dt.max_len,
+                                    mode="fast")
+    slots = np.asarray(slots)
     for (r, s, e, si, _), token in zip(packed.spans, [samples[sp[3]] for sp in packed.spans]):
         tid = ids[r, e - s - 1, s]
         assert tid >= 0, f"token {token!r} not matched"
         assert vocab[tid].value == token
+        # fast path agrees through the slot -> id mapping
+        slot = slots[r, e - s - 1, s]
+        assert dt.slot_to_id[slot] == tid
 
 
 def test_viterbi_matches_oracle():
     vocab, samples, oracle, dt, packed, batch = _setup(seed=2)
-    dp, best_l, best_id = lj.viterbi(dt, batch, C=32, dtype=jnp.float64)
+    dp, best_l = lj.viterbi(dt, batch, C=32, dtype=jnp.float64)
     got_spans = lj.backtrack(packed, np.asarray(dp), np.asarray(best_l),
-                             np.asarray(best_id))
+                             oracle.token_to_ids)
     got = lj.reassemble(packed, got_spans, len(samples))
     for s, ids in zip(samples, got):
         want = oracle.encode(s.decode())
@@ -88,9 +95,9 @@ def test_viterbi_f32_close_to_oracle():
     vocab, samples, oracle, dt64, packed, batch = _setup(seed=3)
     tbl = TokenTable.build(vocab)
     dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float32)
-    dp, best_l, best_id = lj.viterbi(dt, batch, C=32, dtype=jnp.float32)
+    dp, best_l = lj.viterbi(dt, batch, C=32, dtype=jnp.float32)
     got_spans = lj.backtrack(packed, np.asarray(dp), np.asarray(best_l),
-                             np.asarray(best_id))
+                             oracle.token_to_ids)
     got = lj.reassemble(packed, got_spans, len(samples))
     mismatches = sum(
         1 for s, ids in zip(samples, got) if ids != oracle.encode(s.decode())
@@ -117,8 +124,8 @@ def test_forward_z_matches_oracle():
 def test_expected_counts_match_oracle():
     vocab, samples, oracle, dt, packed, batch = _setup(seed=5)
     A = lj.forward(dt, batch, C=32, dtype=jnp.float64)
-    expected_dev = np.asarray(
-        lj.backward_expected(dt, batch, A, C=32, dtype=jnp.float64)
+    expected_dev = lj.fold_expected(
+        dt, lj.backward_expected(dt, batch, A, C=32, dtype=jnp.float64)
     )
     expected_ref = [0.0] * len(vocab)
     for s in samples:
@@ -133,12 +140,12 @@ def test_packed_boundaries_are_independent():
     # expected counts (boundary resets isolate samples).
     vocab, samples, oracle, dt, packed, batch = _setup(seed=6, n_samples=12)
     A = lj.forward(dt, batch, C=32, dtype=jnp.float64)
-    e1 = np.asarray(lj.backward_expected(dt, batch, A, C=32, dtype=jnp.float64))
+    e1 = lj.fold_expected(dt, lj.backward_expected(dt, batch, A, C=32, dtype=jnp.float64))
 
     packed2 = pack_samples(samples, width=256)
     batch2 = lj.prepare_batch(packed2, dt.max_len)
     A2 = lj.forward(dt, batch2, C=64, dtype=jnp.float64)
-    e2 = np.asarray(lj.backward_expected(dt, batch2, A2, C=64, dtype=jnp.float64))
+    e2 = lj.fold_expected(dt, lj.backward_expected(dt, batch2, A2, C=64, dtype=jnp.float64))
     np.testing.assert_allclose(e1, e2, rtol=1e-9, atol=1e-12)
 
 
@@ -155,7 +162,7 @@ def test_snippet_chopping_matches_reference_semantics():
     packed = pack_samples([long_sample], width=128, max_snippet=64)
     batch = lj.prepare_batch(packed, dt.max_len)
     A = lj.forward(dt, batch, C=32, dtype=jnp.float64)
-    e_dev = np.asarray(lj.backward_expected(dt, batch, A, C=32, dtype=jnp.float64))
+    e_dev = lj.fold_expected(dt, lj.backward_expected(dt, batch, A, C=32, dtype=jnp.float64))
 
     e_ref = [0.0] * len(vocab)
     for off in range(0, len(long_sample), 64):
@@ -171,11 +178,12 @@ def test_no_path_detection():
     dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float64)
     packed = pack_samples([b"ab"], width=32)
     batch = lj.prepare_batch(packed, dt.max_len)
-    dp, best_l, best_id = lj.viterbi(dt, batch, C=32, dtype=jnp.float64)
+    dp, best_l = lj.viterbi(dt, batch, C=32, dtype=jnp.float64)
     from tokengeex_tpu import NoPathError
 
     with pytest.raises(NoPathError):
-        lj.backtrack(packed, np.asarray(dp), np.asarray(best_l), np.asarray(best_id))
+        lj.backtrack(packed, np.asarray(dp), np.asarray(best_l),
+                     {t.value: i for i, t in enumerate(vocab)})
 
 
 def test_viterbi_tie_break_longest_token():
@@ -190,7 +198,7 @@ def test_viterbi_tie_break_longest_token():
     dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float64)
     packed = pack_samples([b"ab"], width=32)
     batch = lj.prepare_batch(packed, dt.max_len)
-    dp, best_l, best_id = lj.viterbi(dt, batch, C=32, dtype=jnp.float64)
+    dp, best_l = lj.viterbi(dt, batch, C=32, dtype=jnp.float64)
     spans = lj.backtrack(packed, np.asarray(dp), np.asarray(best_l),
-                         np.asarray(best_id))
+                         {t.value: i for i, t in enumerate(vocab)})
     assert spans[0] == [2]

@@ -33,26 +33,25 @@ def _setup(seed=0, n_samples=48, width=128):
     dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float32)
     packed = pack_samples(samples, width=width, row_multiple=128)
     batch = lj.prepare_batch(packed, dt.max_len)
-    return dt, packed, batch
+    t2i = {t.value: i for i, t in enumerate(vocab)}
+    return dt, packed, batch, t2i
 
 
 def test_pallas_viterbi_matches_xla():
-    dt, packed, batch = _setup()
-    dp_x, bl_x, bid_x = lj.viterbi(dt, batch, C=32, dtype=jnp.float32)
-    dp_p, bl_p, bid_p = lj.viterbi(dt, batch, C=32, dtype=jnp.float32,
-                                   backend="pallas")
+    dt, packed, batch, _t2i = _setup()
+    dp_x, bl_x = lj.viterbi(dt, batch, C=32, dtype=jnp.float32)
+    dp_p, bl_p = lj.viterbi(dt, batch, C=32, dtype=jnp.float32,
+                            backend="pallas")
     valid = np.isfinite(np.asarray(dp_x))
     np.testing.assert_allclose(np.asarray(dp_p)[valid],
                                np.asarray(dp_x)[valid], rtol=1e-6)
     assert (np.isfinite(np.asarray(dp_p)) == valid).all()
     np.testing.assert_array_equal(np.asarray(bl_p)[valid],
                                   np.asarray(bl_x)[valid])
-    np.testing.assert_array_equal(np.asarray(bid_p)[valid],
-                                  np.asarray(bid_x)[valid])
 
 
 def test_pallas_forward_matches_xla():
-    dt, packed, batch = _setup(seed=1)
+    dt, packed, batch, _t2i = _setup(seed=1)
     a_x = np.asarray(lj.forward(dt, batch, C=32, dtype=jnp.float32))
     a_p = np.asarray(lj.forward(dt, batch, C=32, dtype=jnp.float32,
                                 backend="pallas"))
@@ -62,22 +61,19 @@ def test_pallas_forward_matches_xla():
 
 
 def test_pallas_backward_matches_xla():
-    dt, packed, batch = _setup(seed=2)
+    dt, packed, batch, _t2i = _setup(seed=2)
     A = lj.forward(dt, batch, C=32, dtype=jnp.float32)
-    e_x = np.asarray(lj.backward_expected(dt, batch, A, C=32,
-                                          dtype=jnp.float32))
-    e_p = np.asarray(lj.backward_expected(dt, batch, A, C=32,
-                                          dtype=jnp.float32,
-                                          backend="pallas"))
+    e_x = lj.fold_expected(dt, lj.backward_expected(dt, batch, A, C=32,
+                                                    dtype=jnp.float32))
+    e_p = lj.fold_expected(dt, lj.backward_expected(dt, batch, A, C=32,
+                                                    dtype=jnp.float32,
+                                                    backend="pallas"))
     np.testing.assert_allclose(e_p, e_x, rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_backtrack_end_to_end():
-    from tokengeex_tpu import OracleModel
-
-    dt, packed, batch = _setup(seed=3)
-    dp, bl, bid = lj.viterbi(dt, batch, C=32, dtype=jnp.float32,
-                             backend="pallas")
-    spans = lj.backtrack(packed, np.asarray(dp), np.asarray(bl),
-                         np.asarray(bid))
+    dt, packed, batch, t2i = _setup(seed=3)
+    dp, bl = lj.viterbi(dt, batch, C=32, dtype=jnp.float32,
+                        backend="pallas")
+    spans = lj.backtrack(packed, np.asarray(dp), np.asarray(bl), t2i)
     assert all(s is not None for s in spans)

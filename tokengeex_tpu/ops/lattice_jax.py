@@ -62,14 +62,29 @@ class DeviceBatch:
 
 @dataclasses.dataclass(frozen=True)
 class DeviceTables:
-    """Cuckoo tables as FLAT arrays (structure-of-arrays).
+    """Cuckoo tables as flat check/score arrays.
 
-    Row-shaped (H, 4) tables force gather outputs with a tiny minor
-    dimension, which the TPU pads to full (8, 128) tiles — flat arrays
-    keep every gather output in the batch's natural layout. len+id are
-    packed into one int32 (len << 24 | id) to save a gather per probe.
+    Gathers dominate the probe cost (~0.1-1G elements/s on TPU), so the
+    hot (f32) path fetches exactly TWO int32/f32 elements per probe per
+    table: a 32-bit check word (fp2) and the token score. Combined with
+    the slot index (derived from fp1 + length), discrimination is
+    ~49 bits — about 1e-3 expected false matches over an 11 GB corpus
+    pass, which is negligible even for encode parity.
+
+    Token ids are NOT fetched on the hot path: Viterbi backtracking
+    resolves ids on host from the matched byte spans (the bytes uniquely
+    identify the token), and EM marginals scatter into SLOT-indexed
+    accumulators that the host folds to ids via `slot_to_id`. The
+    fp1/idlen arrays support the exact path (float64 conformance mode
+    and want_ids callers), which gathers scores by id at full precision.
     """
 
+    # fast path (2 gathers per probe per table)
+    t1_check: jax.Array  # (H,) int32 = fp2; empty slots get score NEG
+    t1_score: jax.Array  # (H,) f32
+    t2_check: jax.Array
+    t2_score: jax.Array
+    # exact path
     t1_fp1: jax.Array  # (H,) int32
     t1_fp2: jax.Array
     t1_idlen: jax.Array  # (H,) int32: (len << 24) | id; -1 empty
@@ -77,13 +92,15 @@ class DeviceTables:
     t2_fp2: jax.Array
     t2_idlen: jax.Array
     scores: jax.Array  # (V,) float
+    slot_to_id: np.ndarray  # host (2H,) int64; -1 empty
+    slot_len: np.ndarray  # host (2H,) int64 token length per slot
     bits: int
     max_len: int
     vocab_size: int
 
     @staticmethod
     def from_table(tbl: TokenTable, dtype=jnp.float32) -> "DeviceTables":
-        scores = tbl.scores_f64 if dtype == jnp.float64 else tbl.scores
+        scores64 = tbl.scores_f64
 
         def split(t: np.ndarray):
             fp1 = t[:, 0].astype(np.uint32)
@@ -93,23 +110,42 @@ class DeviceTables:
             empty = tid == np.uint32(0xFFFFFFFF)
             idlen = (length << np.uint32(24)) | (tid & np.uint32(0xFFFFFF))
             idlen = np.where(empty, np.uint32(0xFFFFFFFF), idlen)
+            score = np.where(
+                empty,
+                np.float32(-3.0e38),
+                scores64[np.where(empty, 0, tid)].astype(np.float32),
+            )
+            ids = np.where(empty, -1, tid.astype(np.int64))
+            lens = np.where(empty, 0, length.astype(np.int64))
             return (
+                jnp.asarray(fp2.view(np.int32)),  # check
+                jnp.asarray(score),
                 jnp.asarray(fp1.view(np.int32)),
                 jnp.asarray(fp2.view(np.int32)),
                 jnp.asarray(idlen.view(np.int32)),
+                ids,
+                lens,
             )
 
-        f1, g1, il1 = split(tbl.t1)
-        f2, g2, il2 = split(tbl.t2)
+        c1, s1, f1, g1, il1, ids1, lens1 = split(tbl.t1)
+        c2, s2, f2, g2, il2, ids2, lens2 = split(tbl.t2)
         assert tbl.vocab_size < (1 << 24), "id packing needs vocab < 16M"
+        scores = scores64 if dtype == jnp.float64 else tbl.scores
         return DeviceTables(
+            t1_check=c1, t1_score=s1, t2_check=c2, t2_score=s2,
             t1_fp1=f1, t1_fp2=g1, t1_idlen=il1,
             t2_fp1=f2, t2_fp2=g2, t2_idlen=il2,
             scores=jnp.asarray(scores.astype(dtype)),
+            slot_to_id=np.concatenate([ids1, ids2]),
+            slot_len=np.concatenate([lens1, lens2]),
             bits=tbl.bits,
             max_len=tbl.max_token_len,
             vocab_size=tbl.vocab_size,
         )
+
+    @property
+    def num_slots(self) -> int:
+        return 2 * (1 << self.bits)
 
 
 _PREP_CONSTS: dict = {}
@@ -210,48 +246,95 @@ def _match_slab(
     drop_u: Optional[jax.Array] = None,  # (B, W-domain) int32 random, padded like sid
     dropout: float = 0.0,
     dtype=jnp.float32,
+    mode: str = "fast",  # "fast": (score, slot); "exact": (score, ids)
+    end_indexed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Start-indexed match arrays for global positions [start, start+n_pos).
+    """Match arrays for global positions [start, start+n_pos).
 
-    Returns (score, ids) of shape (B, L, n_pos) where row j holds the
-    token of length l=j+1 beginning at each position (score -inf / id -1
-    when no vocabulary token matches).
+    Returns (score, aux) of shape (B, L, n_pos), row j = token length
+    l = j+1. Start-indexed: row j at column q describes the token
+    BEGINNING at position start+q. End-indexed (end_indexed=True):
+    row j at column q describes the token ENDING at dp index
+    start+q+1 (i.e. beginning at start+q-j) — computed directly from
+    the prefix hashes with shifted slices, no restacking.
 
-    Performance shape: n_pos stays the MINOR dimension of every array
-    (full 128-lane tiles), and the whole slab uses exactly 7 gather ops
-    (3 per cuckoo table + 1 score lookup) on (B, L, n_pos) batched
-    indices — per-length gathers would blow up XLA compile time.
+    mode="fast": aux = slot index into the concatenated cuckoo tables
+    (num_slots where no match); 2 gathers per probe per table
+    (check word + f32 score). mode="exact": aux = token ids; scores
+    gathered by id at the requested dtype (float64 conformance path).
+
+    Layout: n_pos stays the minor dimension of every array so all ops
+    run on full 128-lane tiles.
     """
     B = batch.p1.shape[0]
     off = batch.pad + start  # offset into padded arrays
 
-    # Slices covering positions [start, start + n_pos + L) for end lookups.
-    p1s = jax.lax.dynamic_slice(batch.p1, (0, off), (B, n_pos + L))
-    p2s = jax.lax.dynamic_slice(batch.p2, (0, off), (B, n_pos + L))
-    sids = jax.lax.dynamic_slice(batch.sid, (0, off), (B, n_pos + L))
-    rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))[None, None, :]
-    rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))[None, None, :]
+    p1s = jax.lax.dynamic_slice(batch.p1, (0, off - (L if end_indexed else 0)),
+                                (B, n_pos + L + 1))
+    p2s = jax.lax.dynamic_slice(batch.p2, (0, off - (L if end_indexed else 0)),
+                                (B, n_pos + L + 1))
+    sids = jax.lax.dynamic_slice(batch.sid, (0, off - (L if end_indexed else 0)),
+                                 (B, n_pos + L))
 
-    base1 = p1s[:, None, :n_pos]  # P[p]
-    base2 = p2s[:, None, :n_pos]
-    sid0 = sids[:, None, :n_pos]
+    if end_indexed:
+        # Token of length l ending at dp index p = start+q+1 begins at
+        # slab-local position L + q + 1 - l; slab byte range starts at
+        # global (start - L).
+        endv1 = p1s[:, None, L + 1 : L + 1 + n_pos]
+        endv2 = p2s[:, None, L + 1 : L + 1 + n_pos]
+        start1 = jnp.stack(
+            [p1s[:, L + 1 - l : L + 1 - l + n_pos] for l in range(1, L + 1)],
+            axis=1)
+        start2 = jnp.stack(
+            [p2s[:, L + 1 - l : L + 1 - l + n_pos] for l in range(1, L + 1)],
+            axis=1)
+        sid0 = jnp.stack(
+            [sids[:, L + 1 - l : L + 1 - l + n_pos] for l in range(1, L + 1)],
+            axis=1)
+        sid_last = sids[:, None, L : L + n_pos]
+        rinv1 = jnp.stack(
+            [jax.lax.dynamic_slice(batch.rinv1, (off - l + 1,), (n_pos,))
+             for l in range(1, L + 1)], axis=0)[None, :, :]
+        rinv2 = jnp.stack(
+            [jax.lax.dynamic_slice(batch.rinv2, (off - l + 1,), (n_pos,))
+             for l in range(1, L + 1)], axis=0)[None, :, :]
+        fp1 = (endv1 - start1) * rinv1
+        fp2 = (endv2 - start2) * rinv2
+        valid = (sid_last >= 0) & (sid_last == sid0)
+        drop_base = None
+        if dropout > 0.0 and drop_u is not None:
+            # Dropout keys on the token's START position for consistency
+            # between forward/backward passes.
+            drop_base = jnp.stack(
+                [jax.lax.dynamic_slice(drop_u, (0, off - l + 1), (B, n_pos))
+                 for l in range(1, L + 1)], axis=1)
+    else:
+        base1 = p1s[:, None, :n_pos]
+        base2 = p2s[:, None, :n_pos]
+        sid0 = sids[:, None, :n_pos]
+        end1 = jnp.stack([p1s[:, l : l + n_pos] for l in range(1, L + 1)],
+                         axis=1)
+        end2 = jnp.stack([p2s[:, l : l + n_pos] for l in range(1, L + 1)],
+                         axis=1)
+        sid_last = jnp.stack([sids[:, j : j + n_pos] for j in range(L)],
+                             axis=1)
+        rinv1 = jax.lax.dynamic_slice(batch.rinv1, (off,), (n_pos,))[None, None, :]
+        rinv2 = jax.lax.dynamic_slice(batch.rinv2, (off,), (n_pos,))[None, None, :]
+        fp1 = (end1 - base1) * rinv1
+        fp2 = (end2 - base2) * rinv2
+        valid = (sid0 >= 0) & (sid_last == sid0)
+        drop_base = None
+        if dropout > 0.0 and drop_u is not None:
+            drop_base = jax.lax.dynamic_slice(
+                drop_u, (0, off), (B, n_pos))[:, None, :]
 
-    # (B, L, n_pos) stacked shifted views (slices + concat, no gathers).
-    end1 = jnp.stack([p1s[:, l : l + n_pos] for l in range(1, L + 1)], axis=1)
-    end2 = jnp.stack([p2s[:, l : l + n_pos] for l in range(1, L + 1)], axis=1)
-    sid_last = jnp.stack([sids[:, j : j + n_pos] for j in range(L)], axis=1)
-
-    fp1 = (end1 - base1) * rinv1
-    fp2 = (end2 - base2) * rinv2
-    valid = (sid0 >= 0) & (sid_last == sid0)
-
-    if dropout > 0.0 and drop_u is not None:
-        du = jax.lax.dynamic_slice(drop_u, (0, off), (B, n_pos))[:, None, :]
+    if drop_base is not None:
         odd = np.asarray(
             (np.arange(1, L + 1, dtype=np.int64) * 2654435761) % (1 << 32),
             dtype=np.uint32,
         ).view(np.int32)
-        u = jax.lax.shift_right_logical(du * odd[None, :, None], jnp.int32(1))
+        u = jax.lax.shift_right_logical(drop_base * odd[None, :, None],
+                                        jnp.int32(1))
         threshold = np.int32(
             np.uint32(min(int(dropout * (1 << 32)), (1 << 32) - 1)).view(np.int32)
         )
@@ -275,6 +358,25 @@ def _match_slab(
     idx1 = jax.lax.shift_right_logical((fp1 ^ a1[None, :, None]) * m1, shift)
     idx2 = jax.lax.shift_right_logical((fp2 ^ a2[None, :, None]) * m2, shift)
 
+    neg = jnp.array(NEG_INF, dtype=dtype)
+    if mode == "fast":
+        # 2 gathers per probe per table; NEG-scored empty slots can
+        # never false-match (score itself is the miss marker).
+        c1 = jnp.take(tbl.t1_check, idx1, axis=0)
+        s1 = jnp.take(tbl.t1_score, idx1, axis=0)
+        c2 = jnp.take(tbl.t2_check, idx2, axis=0)
+        s2 = jnp.take(tbl.t2_score, idx2, axis=0)
+        match1 = (c1 == fp2) & valid
+        match2 = (c2 == fp2) & valid
+        score = jnp.where(match1, s1, jnp.where(match2, s2, neg))
+        score = jnp.where(score <= -1.0e38, neg, score).astype(dtype)
+        slot = jnp.where(
+            match1, idx1,
+            jnp.where(match2, idx2 + (1 << tbl.bits), tbl.num_slots),
+        )
+        slot = jnp.where(score > -1.0e38, slot, tbl.num_slots)
+        return score, slot
+
     lens = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :, None]
     e1_fp1 = jnp.take(tbl.t1_fp1, idx1, axis=0)
     e1_fp2 = jnp.take(tbl.t1_fp2, idx1, axis=0)
@@ -295,9 +397,9 @@ def _match_slab(
     )
     ids = jnp.where(valid, ids, -1)
     found = ids >= 0
-    neg = jnp.array(NEG_INF, dtype=tbl.scores.dtype)
     score = jnp.where(
-        found, jnp.take(tbl.scores, jnp.maximum(ids, 0), axis=0), neg
+        found, jnp.take(tbl.scores, jnp.maximum(ids, 0), axis=0),
+        jnp.array(NEG_INF, dtype=tbl.scores.dtype),
     ).astype(dtype)
     return score, ids
 
@@ -314,26 +416,22 @@ def _lse(cand, axis):
     return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
 
 
-def _forward_chunk(tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout):
-    """Match + end-indexed view for one chunk of C dp steps.
+def _probe_mode(dtype) -> str:
+    return "exact" if dtype == jnp.float64 else "fast"
 
-    dp step q in [0, C) corresponds to dp index p = chunk_start + q + 1.
-    Row j of the end view holds the token of length l=j+1 ENDING at p,
-    i.e. starting at p - l = chunk_start + q - j (slab index L + q - j).
 
-    Returns (score_e, ids_e) of shape (B, L, C), minor dim = positions.
+def _forward_chunk(tbl, batch, chunk_start, C, L, dtype, drop_u, dropout):
+    """End-indexed match scores for one chunk of C dp steps.
+
+    dp step q in [0, C) corresponds to dp index p = chunk_start + q + 1;
+    row j holds the token of length l=j+1 ENDING at p. Computed directly
+    from the prefix hashes (no start-indexed detour).
     """
-    # Start-indexed slab for positions [chunk_start - L, chunk_start + C).
-    score_s, ids_s = _match_slab(
-        tbl, batch, chunk_start - L, C + L, L, drop_u, dropout, dtype
+    score_e, _aux = _match_slab(
+        tbl, batch, chunk_start, C, L, drop_u, dropout, dtype,
+        mode=_probe_mode(dtype), end_indexed=True,
     )
-    score_e = jnp.stack(
-        [score_s[:, j, L - j : L - j + C] for j in range(L)], axis=1
-    )
-    ids_e = jnp.stack(
-        [ids_s[:, j, L - j : L - j + C] for j in range(L)], axis=1
-    )
-    return score_e, ids_e
+    return score_e
 
 
 def _to_groups(x):
@@ -400,8 +498,8 @@ def _scan_forward(
 
     def chunk_body(hist, chunk_idx):
         chunk_start = chunk_idx * C
-        score_e, ids_e = _forward_chunk(
-            tbl, batch, chunk_start, C, L, kind, dtype, drop_u, dropout
+        score_e = _forward_chunk(
+            tbl, batch, chunk_start, C, L, dtype, drop_u, dropout
         )
         starts = jax.lax.dynamic_slice(is_start_steps, (0, chunk_start), (B, C))
 
@@ -413,15 +511,10 @@ def _scan_forward(
             hist_g = _hist_to_groups(jnp.maximum(hist, lp.NEG))
             interp = _pallas_interpret()
             if kind == "viterbi":
-                ids_g = _to_groups(ids_e)
-                dp4, bl4, bid4, hist_g = lp.viterbi_chunk(
-                    score_g, ids_g, starts_g, hist_g, interpret=interp
+                dp4, bl4, hist_g = lp.viterbi_chunk(
+                    score_g, starts_g, hist_g, interpret=interp
                 )
-                outs = (
-                    _groups_to_rows(dp4),
-                    _groups_to_rows(bl4),
-                    _groups_to_rows(bid4),
-                )
+                outs = (_groups_to_rows(dp4), _groups_to_rows(bl4))
             else:
                 a4, hist_g = lp.forward_chunk(
                     score_g, starts_g, hist_g, interpret=interp
@@ -430,15 +523,14 @@ def _scan_forward(
             return _hist_from_groups(hist_g), outs
 
         def step(h, xs):
-            s, ids, st = xs  # (B, L), (B, L), (B,)
+            s, st = xs  # (B, L), (B,)
             cand = h + s
             if kind == "viterbi":
                 rev = cand[:, ::-1]
                 jrev = jnp.argmax(rev, axis=1)
                 best_j = (L - 1) - jrev
                 dp_p = jnp.take_along_axis(cand, best_j[:, None], axis=1)[:, 0]
-                best_id = jnp.take_along_axis(ids, best_j[:, None], axis=1)[:, 0]
-                out = (dp_p, best_j + 1, jnp.where(jnp.isfinite(dp_p), best_id, -1))
+                out = (dp_p, best_j + 1)
             else:
                 dp_p = _lse(cand, axis=1)
                 out = (dp_p,)
@@ -448,7 +540,6 @@ def _scan_forward(
 
         xs = (
             jnp.moveaxis(score_e, 2, 0),
-            jnp.moveaxis(ids_e, 2, 0),
             jnp.moveaxis(starts, 1, 0),
         )
         hist, outs = jax.lax.scan(step, hist, xs, unroll=min(unroll, C))
@@ -467,12 +558,12 @@ def _scan_forward(
         return jnp.moveaxis(stacked.reshape(W, B), 0, 1)  # (nchunks, C, B)
 
     if kind == "viterbi":
-        dp, best_l, best_id = (assemble(o) for o in outs)
+        dp, best_l = (assemble(o) for o in outs)
         if backend == "pallas":
             from . import lattice_pallas as lp
 
             dp = jnp.where(dp <= lp.NEG * 0.5, NEG_INF, dp)
-        return dp, best_l, best_id
+        return dp, best_l
     else:
         a = assemble(outs[0])
         if backend == "pallas":
@@ -487,7 +578,9 @@ def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
             drop_u=None, dropout=0.0, backend="xla"):
     """dp scores + backpointers for the packed batch.
 
-    Returns (dp, best_l, best_id), each (B, W), indexed by dp index p-1.
+    Returns (dp, best_l), each (B, W), indexed by dp index p-1. Token
+    ids are not materialized on device — backtrack() resolves them on
+    host from the matched byte spans.
     """
     return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u,
                          dropout, backend)
@@ -516,9 +609,14 @@ def backward_expected(
     dropout: float = 0.0,
     backend: str = "xla",
 ) -> jax.Array:
-    """Expected token counts (V,): scatter-added marginals
+    """Expected-count accumulator: scatter-added marginals
     exp(A[p] + score + B[p+l] - z) per matched token occurrence
     (reference: src/lattice.rs:245-312).
+
+    Fast (f32) path returns a SLOT-indexed accumulator of shape
+    (num_slots + 1,) — fold to per-token counts with fold_expected()
+    (after any cross-device psum). The exact (f64) path returns (V,)
+    per-token counts directly; fold_expected() is a no-op slice there.
     """
     B = batch.p1.shape[0]
     W = batch.width
@@ -528,6 +626,8 @@ def backward_expected(
     if backend == "pallas":
         assert B % 128 == 0 and dtype == jnp.float32
     nchunks = W // C
+    mode = _probe_mode(dtype)
+    nbins = V if mode == "exact" else tbl.num_slots
 
     # Per-position normalizer Z[p] = A[end of sample containing p].
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
@@ -539,8 +639,8 @@ def backward_expected(
         hist, expected = carry
         chunk_idx = (nchunks - 1) - chunk_idx_rev
         chunk_start = chunk_idx * C
-        score_s, ids_s = _match_slab(
-            tbl, batch, chunk_start, C, L, drop_u, dropout, dtype
+        score_s, aux_s = _match_slab(
+            tbl, batch, chunk_start, C, L, drop_u, dropout, dtype, mode=mode
         )
         ends = jax.lax.dynamic_slice(is_end_steps, (0, chunk_start), (B, C))
         a_c = jax.lax.dynamic_slice(A, (0, chunk_start), (B, C)).astype(dtype)
@@ -552,6 +652,7 @@ def backward_expected(
         )
         a_c = jnp.where(starts_c, jnp.zeros_like(a_c), a_c)
         z_c = jax.lax.dynamic_slice(Z, (0, chunk_start), (B, C))
+        matched = (aux_s >= 0) if mode == "exact" else (score_s > -1.0e37)
 
         if backend == "pallas":
             from . import lattice_pallas as lp
@@ -566,35 +667,39 @@ def backward_expected(
                 interpret=_pallas_interpret(),
             )
             # (G, C, L, 128) -> (B, L, C)
-            Gn = marg_g.shape[0]
             margs = jnp.transpose(marg_g, (0, 3, 2, 1)).reshape(B, L, C)
-            margs = jnp.where(ids_s >= 0, margs, 0.0)
+            margs = jnp.where(matched, margs, 0.0)
             hist = _hist_from_groups(hist_g)
-            idss = ids_s
+            bins = aux_s
         else:
             def step(h, xs):
-                s, ids, is_e, a_p, z_p = xs  # (B, L) x2, (B,) x3
+                s, m, is_e, a_p, z_p = xs
                 # h[:, j] = Bwd[p + 1 + j]; token length l=j+1 ends at p+l.
                 marg = jnp.exp(a_p[:, None] + s + h - z_p[:, None])
-                marg = jnp.where(ids >= 0, marg, 0.0)
+                marg = jnp.where(m, marg, 0.0)
                 cand = s + h
                 b_p = _lse(cand, axis=1)
                 b_p = jnp.where(is_e, jnp.zeros_like(b_p), b_p)
                 h = jnp.concatenate([b_p[:, None], h[:, : L - 1]], axis=1)
-                return h, (marg, ids)
+                return h, marg
 
             xs = (
                 jnp.moveaxis(score_s, 2, 0)[::-1],
-                jnp.moveaxis(ids_s, 2, 0)[::-1],
+                jnp.moveaxis(matched, 2, 0)[::-1],
                 jnp.moveaxis(ends, 1, 0)[::-1],
                 jnp.moveaxis(a_c, 1, 0)[::-1],
                 jnp.moveaxis(z_c, 1, 0)[::-1],
             )
-            hist, (margs, idss) = jax.lax.scan(step, hist, xs,
-                                               unroll=min(unroll, C))
+            hist, margs_rev = jax.lax.scan(step, hist, xs,
+                                           unroll=min(unroll, C))
+            margs = margs_rev  # (C, B, L); order irrelevant for scatter
+            bins = jnp.moveaxis(aux_s, 2, 0)[::-1]
 
-        safe_ids = jnp.where(idss >= 0, idss, V)
-        expected = expected.at[safe_ids.reshape(-1)].add(
+        if mode == "exact":
+            safe_bins = jnp.where(bins >= 0, bins, nbins)
+        else:
+            safe_bins = bins  # already num_slots for misses
+        expected = expected.at[safe_bins.reshape(-1)].add(
             margs.reshape(-1), mode="drop"
         )
         return (hist, expected), None
@@ -604,11 +709,26 @@ def backward_expected(
     hist0 = hist0.at[:, 0].set(
         jnp.where(batch.is_end[:, W], 0.0, NEG_INF).astype(dtype)
     )
-    expected0 = jnp.zeros((V + 1,), dtype=dtype)
+    expected0 = jnp.zeros((nbins + 1,), dtype=dtype)
     (hist, expected), _ = jax.lax.scan(
         chunk_body, (hist0, expected0), jnp.arange(nchunks)
     )
-    return expected[:V]
+    return expected[:nbins]
+
+
+def fold_expected(tbl: DeviceTables, acc, dtype=jnp.float32) -> np.ndarray:
+    """Fold a backward_expected() accumulator to per-token counts (V,).
+
+    Fast-path accumulators are slot-indexed; the host maps slots to ids
+    with its copy of the table. Exact-path accumulators pass through.
+    """
+    acc = np.asarray(acc, dtype=np.float64)
+    if acc.shape[0] == tbl.vocab_size:
+        return acc
+    expected = np.zeros(tbl.vocab_size, dtype=np.float64)
+    valid = tbl.slot_to_id >= 0
+    np.add.at(expected, tbl.slot_to_id[valid], acc[valid])
+    return expected
 
 
 # ---------------------------------------------------------------------------
@@ -620,15 +740,19 @@ def backtrack(
     packed: PackedBatch,
     dp: np.ndarray,
     best_l: np.ndarray,
-    best_id: np.ndarray,
+    token_to_id,  # Mapping[bytes, int]
     raise_no_path: bool = True,
 ) -> List[Optional[List[int]]]:
     """Recover token id sequences per snippet span from device outputs.
 
     Mirrors the reference backtrack (src/model.rs:112-127); an
     unreachable sample end raises NoPath(len, len) like the reference's
-    dp[n].start == None case.
+    dp[n].start == None case. Token ids are resolved from the matched
+    byte spans via `token_to_id` (the bytes uniquely identify the token;
+    duplicate-value vocab entries resolve to the later id, matching the
+    trie/HashMap overwrite semantics, reference src/model.rs:20-23).
     """
+    rows = packed.bytes_arr
     out: List[Optional[List[int]]] = []
     for r, s, e, _si, _ci in packed.spans:
         if e == s:
@@ -640,10 +764,12 @@ def backtrack(
             out.append(None)
             continue
         ids: List[int] = []
+        row = rows[r]
         pos = e
         while pos > s:
-            ids.append(int(best_id[r, pos - 1]))
-            pos -= int(best_l[r, pos - 1])
+            l = int(best_l[r, pos - 1])
+            ids.append(token_to_id[row[pos - l : pos].tobytes()])
+            pos -= l
         ids.reverse()
         out.append(ids)
     return out

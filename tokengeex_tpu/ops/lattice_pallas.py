@@ -43,8 +43,8 @@ def _roll_insert(hist, row):
 # ---------------------------------------------------------------------------
 
 
-def _viterbi_kernel(score_ref, ids_ref, start_ref, hist_in_ref,
-                    dp_ref, bestl_ref, bestid_ref, hist_out_ref, hist):
+def _viterbi_kernel(score_ref, start_ref, hist_in_ref,
+                    dp_ref, bestl_ref, hist_out_ref, hist):
     C = score_ref.shape[0]
     L = score_ref.shape[1]
     hist[:] = hist_in_ref[:]
@@ -57,15 +57,10 @@ def _viterbi_kernel(score_ref, ids_ref, start_ref, hist_in_ref,
         is_max = (cand >= m) & (s > NEG)
         # Largest l on ties; -1 when nothing matched.
         jbest = jnp.max(jnp.where(is_max, jrow, -1), axis=0, keepdims=True)
-        onehot = jrow == jbest
-        ids = ids_ref[q]
-        bid = jnp.max(jnp.where(onehot, ids, -(2**31 - 1)), axis=0,
-                      keepdims=True)
         valid = jbest >= 0
         m = jnp.where(valid, m, NEG)
         dp_ref[q] = m
         bestl_ref[q] = jnp.where(valid, jbest + 1, 1)
-        bestid_ref[q] = jnp.where(valid, bid, -1)
         st = start_ref[q]  # (1, 128) float: 1.0 at sample starts
         carry = jnp.where(st > 0.5, jnp.zeros_like(m), m)
         hist[:] = _roll_insert(hist[:], carry)
@@ -75,29 +70,22 @@ def _viterbi_kernel(score_ref, ids_ref, start_ref, hist_in_ref,
     hist_out_ref[:] = hist[:]
 
 
-def viterbi_chunk(score_e, ids_e, starts, hist0, interpret=False):
+def viterbi_chunk(score_e, starts, hist0, interpret=False):
     """One chunk of Viterbi DP.
 
     score_e: (G, C, L, 128) f32 end-indexed scores (NEG for no match)
-    ids_e:   (G, C, L, 128) i32
     starts:  (G, C, 1, 128) f32 (1.0 where dp index q+1 starts a sample)
     hist0:   (G, L, 128) f32
 
-    Returns dp (G, C, 1, 128), best_l, best_id, hist (G, L, 128).
+    Returns dp (G, C, 1, 128), best_l, hist (G, L, 128). Token ids are
+    resolved host-side from (position, best_l) byte spans.
     """
     G, C, L, lanes = score_e.shape
     assert lanes == 128
-    grid = (G,)
-    spec3 = lambda shape: pl.BlockSpec(
-        (1, *shape), lambda g: (g, 0, 0, 0)[: 1 + len(shape)],
-        memory_space=pltpu.VMEM,
-    )
     out = pl.pallas_call(
         _squeeze_g(_viterbi_kernel),
-        grid=grid,
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, C, L, 128), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, L, 128), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, 1, 128), lambda g: (g, 0, 0, 0),
@@ -110,20 +98,17 @@ def viterbi_chunk(score_e, ids_e, starts, hist0, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, 1, 128), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 1, 128), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, 128), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, C, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((G, C, 1, 128), jnp.int32),
-            jax.ShapeDtypeStruct((G, C, 1, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, L, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((L, 128), jnp.float32)],
         interpret=interpret,
-    )(score_e, ids_e, starts, hist0)
+    )(score_e, starts, hist0)
     return tuple(out)
 
 

@@ -49,9 +49,10 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     """Build a jitted, mesh-sharded E-step over packed batch arrays.
 
     Returns fn(p1, p2, sid, is_start, is_end, end_index, drop_u)
-    -> (A, expected) where the batch rows are sharded over the mesh's
-    data axis, A is returned sharded (rows stay local), and expected is
-    psum-reduced and replicated.
+    -> (A, acc) where the batch rows are sharded over the mesh's data
+    axis, A is returned sharded (rows stay local), and the expected-count
+    accumulator (slot-indexed on the fast path; see
+    ops.lattice_jax.fold_expected) is psum-reduced and replicated.
     """
     import jax
     import jax.numpy as jnp
@@ -116,7 +117,7 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
         local_step,
         mesh=mesh,
         in_specs=(P(axis),) * 6 + (P(), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
         check_rep=False,
     )
     return jax.jit(sharded)

@@ -131,6 +131,7 @@ def run_e_step_device(
             exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
                                          drop_u=drop_u, dropout=dropout,
                                          backend=kernel)
+        exp_g = lj.fold_expected(dt, exp_g, dtype)
         A_np = np.asarray(A)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         for (r, s, e, si, ci) in sub.spans:
@@ -140,7 +141,7 @@ def run_e_step_device(
                     f"normalization constant is not finite (z={z}, "
                     f"sample={si}, len={len(samples[si])})"
                 )
-        expected += np.asarray(exp_g, dtype=np.float64)
+        expected += exp_g
         if task is not None:
             nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
             task.record(nbytes, len({si for (_, _, _, si, _) in sub.spans}))
@@ -186,12 +187,12 @@ def encode_corpus_device(
             sub = pmesh.pad_rows_to_multiple(sub, row_mult)
         batch = lj.prepare_batch(sub, L)
         if use_mesh:
-            dp, best_l, best_id = vit(*pmesh.batch_to_arrays(batch))
+            dp, best_l = vit(*pmesh.batch_to_arrays(batch))
         else:
-            dp, best_l, best_id = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
-                                             backend=kernel)
+            dp, best_l = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
+                                    backend=kernel)
         spans = lj.backtrack(sub, np.asarray(dp), np.asarray(best_l),
-                             np.asarray(best_id))
+                             model.oracle.token_to_ids)
         for (r, s, e, si, ci), ids in zip(sub.spans, spans):
             per_span_all.append(((r, s, e, si, ci), ids))
         if task is not None:
