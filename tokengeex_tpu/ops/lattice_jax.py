@@ -753,12 +753,16 @@ def backtrack(
     trie/HashMap overwrite semantics, reference src/model.rs:20-23).
     """
     rows = packed.bytes_arr
+    # dp may be the full (B, W) array or a 1-D per-span array of the
+    # dp values at each span end (cheaper to fetch from device).
+    per_span_dp = dp.ndim == 1
     out: List[Optional[List[int]]] = []
-    for r, s, e, _si, _ci in packed.spans:
+    for k, (r, s, e, _si, _ci) in enumerate(packed.spans):
         if e == s:
             out.append([])
             continue
-        if not np.isfinite(dp[r, e - 1]):
+        dp_end = dp[k] if per_span_dp else dp[r, e - 1]
+        if not np.isfinite(dp_end):
             if raise_no_path:
                 raise NoPathError(e - s, e - s)
             out.append(None)

@@ -132,14 +132,21 @@ def run_e_step_device(
                                          drop_u=drop_u, dropout=dropout,
                                          backend=kernel)
         exp_g = lj.fold_expected(dt, exp_g, dtype)
-        A_np = np.asarray(A)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
-        for (r, s, e, si, ci) in sub.spans:
-            z = A_np[r, e]
-            if not np.isfinite(z):
+        # Gather z on device: pulling all of A to host would dominate on
+        # slow host links.
+        if sub.spans:
+            rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
+            ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
+            z_vals = np.asarray(A[rows_idx, ends_idx])
+            bad = ~np.isfinite(z_vals)
+            if bad.any():
+                k = int(np.nonzero(bad)[0][0])
+                si = sub.spans[k][3]
                 raise ValueError(
-                    f"normalization constant is not finite (z={z}, "
-                    f"sample={si}, len={len(samples[si])})"
+                    f"normalization constant is not finite "
+                    f"(z={z_vals[k]}, sample={si}, "
+                    f"len={len(samples[si])})"
                 )
         expected += exp_g
         if task is not None:
@@ -191,7 +198,18 @@ def encode_corpus_device(
         else:
             dp, best_l = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
                                     backend=kernel)
-        spans = lj.backtrack(sub, np.asarray(dp), np.asarray(best_l),
+        # Fetch backpointers as int8 and only the span-end dp values —
+        # the full f32 dp matrix would dominate on slow host links.
+        import jax.numpy as _jnp
+
+        best_l_host = np.asarray(best_l.astype(_jnp.int8))
+        if sub.spans:
+            rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
+            ends_idx = np.asarray([e - 1 for (_, _, e, _, _) in sub.spans])
+            dp_ends = np.asarray(dp[rows_idx, np.maximum(ends_idx, 0)])
+        else:
+            dp_ends = np.zeros(0, dtype=np.float32)
+        spans = lj.backtrack(sub, dp_ends, best_l_host,
                              model.oracle.token_to_ids)
         for (r, s, e, si, ci), ids in zip(sub.spans, spans):
             per_span_all.append(((r, s, e, si, ci), ids))
