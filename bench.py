@@ -126,6 +126,34 @@ def main():
     dev_rate = total_bytes / best
     log(f"device steady: {best:.3f}s -> {dev_rate/1e6:.1f} MB/s")
 
+    if os.environ.get("TGX_BENCH_EM", "1") == "1":
+        # Secondary metric: one EM E-step round (forward + backward +
+        # expected counts), logged to stderr.
+        @jax.jit
+        def estep(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+            b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
+                               is_end=is_end, end_index=end_index,
+                               rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
+            A = lj.forward(dt, b, C=min(512, width), unroll=8,
+                           dtype=jnp.float32, backend=kernel)
+            acc = lj.backward_expected(dt, b, A, C=min(512, width), unroll=8,
+                                       dtype=jnp.float32, backend=kernel)
+            return A, acc
+
+        t0 = time.time()
+        out = estep(*args)
+        jax.block_until_ready(out)
+        log(f"estep compile+first: {time.time()-t0:.1f}s")
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            out = estep(*args)
+            jax.block_until_ready(out)
+            runs.append(time.time() - t0)
+        em_rate = total_bytes / min(runs)
+        log(f"estep steady: {min(runs):.3f}s -> {em_rate/1e6:.1f} MB/s "
+            f"({1e9/em_rate:.1f} s/GB per EM sub-iteration)")
+
     vs = (dev_rate / nat_rate) if nat_rate else 0.0
     print(json.dumps({
         "metric": f"viterbi_encode_bytes_per_s_{platform}",

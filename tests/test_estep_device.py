@@ -105,3 +105,16 @@ def test_tokenizer_device_batch_encode():
     got_ord = tok.encode_ordinary_batch(texts, backend="device")
     want_ord = [tok.encode_ordinary(t) for t in texts]
     assert got_ord == want_ord
+
+
+def test_em_probe_close_to_exact(setup, monkeypatch):
+    # The single-word EM probe quantizes scores to ~1e-3 logprob; counts
+    # must match the exact path closely.
+    model, samples = setup
+    monkeypatch.setattr(ed, "CHUNK", 128)
+    e_exact = ed.run_e_step_device(model, samples, dropout=0.0,
+                                  max_snippet=256, dtype=jnp.float64)
+    e_em = ed.run_e_step_device(model, samples, dropout=0.0,
+                                max_snippet=256, dtype=jnp.float32,
+                                probe="em")
+    np.testing.assert_allclose(e_em, e_exact, rtol=0.02, atol=0.05)

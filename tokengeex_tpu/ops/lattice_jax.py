@@ -84,6 +84,12 @@ class DeviceTables:
     t1_score: jax.Array  # (H,) f32
     t2_check: jax.Array
     t2_score: jax.Array
+    # em path (1 gather per probe per table): (check16 << 16) | q_score16
+    # where q = round(-score * 1024) clamped to [0, 0xFFFE]; 0xFFFF marks
+    # an empty slot. ~33-bit discrimination and ~1e-3 score resolution —
+    # acceptable for EM statistics, not for encode parity.
+    t1_em: jax.Array  # (H,) int32
+    t2_em: jax.Array
     # exact path
     t1_fp1: jax.Array  # (H,) int32
     t1_fp2: jax.Array
@@ -117,22 +123,30 @@ class DeviceTables:
             )
             ids = np.where(empty, -1, tid.astype(np.int64))
             lens = np.where(empty, 0, length.astype(np.int64))
+            q = np.clip(np.round(
+                -scores64[np.where(empty, 0, tid)] * 1024.0), 0, 0xFFFE
+            ).astype(np.uint32)
+            em = (fp2 & np.uint32(0xFFFF0000)) | np.where(
+                empty, np.uint32(0xFFFF), q
+            )
             return (
                 jnp.asarray(fp2.view(np.int32)),  # check
                 jnp.asarray(score),
                 jnp.asarray(fp1.view(np.int32)),
                 jnp.asarray(fp2.view(np.int32)),
                 jnp.asarray(idlen.view(np.int32)),
+                jnp.asarray(em.view(np.int32)),
                 ids,
                 lens,
             )
 
-        c1, s1, f1, g1, il1, ids1, lens1 = split(tbl.t1)
-        c2, s2, f2, g2, il2, ids2, lens2 = split(tbl.t2)
+        c1, s1, f1, g1, il1, em1, ids1, lens1 = split(tbl.t1)
+        c2, s2, f2, g2, il2, em2, ids2, lens2 = split(tbl.t2)
         assert tbl.vocab_size < (1 << 24), "id packing needs vocab < 16M"
         scores = scores64 if dtype == jnp.float64 else tbl.scores
         return DeviceTables(
             t1_check=c1, t1_score=s1, t2_check=c2, t2_score=s2,
+            t1_em=em1, t2_em=em2,
             t1_fp1=f1, t1_fp2=g1, t1_idlen=il1,
             t2_fp1=f2, t2_fp2=g2, t2_idlen=il2,
             scores=jnp.asarray(scores.astype(dtype)),
@@ -359,6 +373,29 @@ def _match_slab(
     idx2 = jax.lax.shift_right_logical((fp2 ^ a2[None, :, None]) * m2, shift)
 
     neg = jnp.array(NEG_INF, dtype=dtype)
+    if mode == "em":
+        # 1 gather per probe per table: 16-bit check + 16-bit quantized
+        # score in one word. ~33-bit discrimination: statistical noise
+        # only — reserved for EM expected-count passes.
+        e1 = jnp.take(tbl.t1_em, idx1, axis=0)
+        e2 = jnp.take(tbl.t2_em, idx2, axis=0)
+        hi = jnp.int32(-65536)  # 0xFFFF0000
+        match1 = ((e1 ^ fp2) & hi) == 0
+        match2 = ((e2 ^ fp2) & hi) == 0
+        q1 = e1 & 0xFFFF
+        q2 = e2 & 0xFFFF
+        q = jnp.where(match1, q1, jnp.where(match2, q2, 0xFFFF))
+        q = jnp.where(valid, q, 0xFFFF)
+        score = jnp.where(
+            q == 0xFFFF, neg, -q.astype(dtype) * jnp.array(1 / 1024, dtype)
+        )
+        slot = jnp.where(
+            match1, idx1,
+            jnp.where(match2, idx2 + (1 << tbl.bits), tbl.num_slots),
+        )
+        slot = jnp.where(q == 0xFFFF, tbl.num_slots, slot)
+        return score, slot
+
     if mode == "fast":
         # 2 gathers per probe per table; NEG-scored empty slots can
         # never false-match (score itself is the miss marker).
@@ -420,7 +457,8 @@ def _probe_mode(dtype) -> str:
     return "exact" if dtype == jnp.float64 else "fast"
 
 
-def _forward_chunk(tbl, batch, chunk_start, C, L, dtype, drop_u, dropout):
+def _forward_chunk(tbl, batch, chunk_start, C, L, dtype, drop_u, dropout,
+                   probe=None):
     """End-indexed match scores for one chunk of C dp steps.
 
     dp step q in [0, C) corresponds to dp index p = chunk_start + q + 1;
@@ -429,7 +467,7 @@ def _forward_chunk(tbl, batch, chunk_start, C, L, dtype, drop_u, dropout):
     """
     score_e, _aux = _match_slab(
         tbl, batch, chunk_start, C, L, drop_u, dropout, dtype,
-        mode=_probe_mode(dtype), end_indexed=True,
+        mode=probe or _probe_mode(dtype), end_indexed=True,
     )
     return score_e
 
@@ -483,6 +521,7 @@ def _scan_forward(
     drop_u: Optional[jax.Array] = None,
     dropout: float = 0.0,
     backend: str = "xla",
+    probe: Optional[str] = None,
 ):
     B = batch.p1.shape[0]
     W = batch.width
@@ -499,7 +538,7 @@ def _scan_forward(
     def chunk_body(hist, chunk_idx):
         chunk_start = chunk_idx * C
         score_e = _forward_chunk(
-            tbl, batch, chunk_start, C, L, dtype, drop_u, dropout
+            tbl, batch, chunk_start, C, L, dtype, drop_u, dropout, probe
         )
         starts = jax.lax.dynamic_slice(is_start_steps, (0, chunk_start), (B, C))
 
@@ -575,7 +614,7 @@ def _scan_forward(
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0, backend="xla"):
+            drop_u=None, dropout=0.0, backend="xla", probe=None):
     """dp scores + backpointers for the packed batch.
 
     Returns (dp, best_l), each (B, W), indexed by dp index p-1. Token
@@ -583,14 +622,14 @@ def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
     host from the matched byte spans.
     """
     return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u,
-                         dropout, backend)
+                         dropout, backend, probe)
 
 
 def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0, backend="xla"):
+            drop_u=None, dropout=0.0, backend="xla", probe=None):
     """EM forward pass: A (B, W+1) log-prob of segmenting each prefix."""
     return _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype, drop_u,
-                         dropout, backend)
+                         dropout, backend, probe)
 
 
 # ---------------------------------------------------------------------------
@@ -608,6 +647,7 @@ def backward_expected(
     drop_u: Optional[jax.Array] = None,
     dropout: float = 0.0,
     backend: str = "xla",
+    probe: Optional[str] = None,
 ) -> jax.Array:
     """Expected-count accumulator: scatter-added marginals
     exp(A[p] + score + B[p+l] - z) per matched token occurrence
@@ -626,7 +666,7 @@ def backward_expected(
     if backend == "pallas":
         assert B % 128 == 0 and dtype == jnp.float32
     nchunks = W // C
-    mode = _probe_mode(dtype)
+    mode = probe or _probe_mode(dtype)
     nbins = V if mode == "exact" else tbl.num_slots
 
     # Per-position normalizer Z[p] = A[end of sample containing p].

@@ -45,7 +45,8 @@ def distributed_initialize(**kwargs) -> None:
 
 
 def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
-                   dropout: float = 0.0, kernel: str = "xla"):
+                   dropout: float = 0.0, kernel: str = "xla",
+                   probe=None):
     """Build a jitted, mesh-sharded E-step over packed batch arrays.
 
     Returns fn(p1, p2, sid, is_start, is_end, end_index, drop_u)
@@ -72,10 +73,11 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
             width=width, pad=L,
         )
         A = lj.forward(dt, batch, C=chunk, dtype=dtype,
-                       drop_u=drop_u, dropout=dropout, backend=kernel)
+                       drop_u=drop_u, dropout=dropout, backend=kernel,
+                       probe=probe)
         expected = lj.backward_expected(dt, batch, A, C=chunk, dtype=dtype,
                                         drop_u=drop_u, dropout=dropout,
-                                        backend=kernel)
+                                        backend=kernel, probe=probe)
         expected = jax.lax.psum(expected, axis)
         return A, expected
 

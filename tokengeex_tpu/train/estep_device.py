@@ -74,6 +74,7 @@ def run_e_step_device(
     dtype=None,
     seed: int = 0,
     kernel: Optional[str] = None,
+    probe: Optional[str] = None,
 ) -> np.ndarray:
     """Expected token counts over the corpus (reference: src/prune.rs:64-120).
 
@@ -90,6 +91,11 @@ def run_e_step_device(
     if dtype is None:
         dtype = jnp.float32
     kernel = kernel or _default_backend()
+    if probe is None:
+        # The single-word EM probe (1 gather per table) is the default
+        # on the f32 fast path; see DeviceTables docs for the accuracy
+        # trade-off.
+        probe = "em" if dtype == jnp.float32 else None
     tbl = TokenTable.build(model.vocab)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
@@ -103,7 +109,7 @@ def run_e_step_device(
         mesh = pmesh.get_mesh()
         step = pmesh.sharded_e_step(dt, mesh, width=width, chunk=CHUNK,
                                     dtype=dtype, dropout=dropout,
-                                    kernel=kernel)
+                                    kernel=kernel, probe=probe)
 
     expected = np.zeros(tbl.vocab_size, dtype=np.float64)
     key = jax.random.PRNGKey(seed)
@@ -127,10 +133,11 @@ def run_e_step_device(
             A, exp_g = step(*args)
         else:
             A = lj.forward(dt, batch, C=CHUNK, dtype=dtype,
-                           drop_u=drop_u, dropout=dropout, backend=kernel)
+                           drop_u=drop_u, dropout=dropout, backend=kernel,
+                           probe=probe)
             exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
                                          drop_u=drop_u, dropout=dropout,
-                                         backend=kernel)
+                                         backend=kernel, probe=probe)
         exp_g = lj.fold_expected(dt, exp_g, dtype)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         # Gather z on device: pulling all of A to host would dominate on
