@@ -232,3 +232,43 @@ def test_duplicate_token_last_id_wins():
     model = Model(vocab)
     assert model.token_to_id(b"x") == 1
     assert model.encode("x") == [1]
+
+
+def test_load_reference_format_fixture():
+    # A checkpoint in the exact shape serde_json::to_string_pretty
+    # produces (reference: src/tokenizer.rs:349-366, src/lib.rs:109-134),
+    # including a base64 "encoded" token and sparse keep flags.
+    import base64 as _b64
+    import json as _json
+
+    obj = {
+        "version": "2.0",
+        "special_tokens": ["<|eos|>"],
+        "processors": [{"type": "crlf"}, {"type": "unicode", "form": "nfc"}],
+        "vocab": [
+            {"value": "a", "score": -1.5, "keep": True},
+            {"value": "b", "score": -2.0},
+            {"value": "/v8", "score": -3.25, "encoded": True},
+        ],
+    }
+    tok = Tokenizer.from_str(_json.dumps(obj, indent=2))
+    assert tok.base_vocab_size() == 3
+    assert tok.model.vocab[0].keep is True
+    assert tok.model.vocab[1].keep is False
+    # "/v8" is STANDARD_NO_PAD base64 for 0xFE 0xFF (reference: src/lib.rs:8)
+    assert tok.model.vocab[2].value == b"\xfe\xff"
+    # Round-trips back through our writer and reloads identically.
+    back = Tokenizer.from_str(tok.to_string())
+    assert [t.value for t in back.model.vocab] == [t.value for t in tok.model.vocab]
+    assert [t.keep for t in back.model.vocab] == [t.keep for t in tok.model.vocab]
+    assert _json.loads(tok.to_string())["vocab"][2]["value"] == "/v8"
+
+
+def test_splitter_multibyte_boundaries():
+    # Specials adjacent to multibyte chars: char-boundary scanning must
+    # not split inside a UTF-8 sequence.
+    specials = ["<s>"]
+    got = list(split_special_tokens("你好<s>世界", specials))
+    assert got == [("你好", False), ("<s>", True), ("世界", False)]
+    got2 = list(split_special_tokens("<s>你<s>", specials))
+    assert got2 == [("<s>", True), ("你", False), ("<s>", True)]

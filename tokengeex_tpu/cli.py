@@ -305,7 +305,7 @@ def cmd_encode(args) -> None:
     """Implemented (reference leaves this todo!(), src/cli.rs:737-739)."""
     tokenizer = Tokenizer.from_file(args.vocab)
     text = args.input if args.input is not None else sys.stdin.read()
-    ids = tokenizer.encode(text)
+    ids = tokenizer.encode(text, args.dropout)
     print(json.dumps(ids))
 
 
@@ -396,6 +396,7 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("encode")
     e.add_argument("-v", "--vocab", required=True)
     e.add_argument("-i", "--input")
+    e.add_argument("--dropout", type=float, default=0.0)
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")
