@@ -511,6 +511,19 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pallas_subchunk(C: int, L: int, streams: int) -> int:
+    """Positions per Pallas kernel call, sized so the VMEM working set
+    (streams x (P, L, 128) f32 blocks, double-buffered, plus row
+    vectors) stays within ~10 MB of the 16 MB budget."""
+    budget = 10 * (1 << 20)
+    per_pos = streams * L * 128 * 4 * 2 + 4 * 128 * 4 * 2
+    p = max(32, budget // per_pos)
+    sub = C
+    while sub > p and sub % 2 == 0:
+        sub //= 2
+    return sub
+
+
 def _scan_forward(
     tbl: DeviceTables,
     batch: DeviceBatch,
@@ -549,16 +562,29 @@ def _scan_forward(
             starts_g = _rows_to_groups(starts.astype(jnp.float32))
             hist_g = _hist_to_groups(jnp.maximum(hist, lp.NEG))
             interp = _pallas_interpret()
+            sub = _pallas_subchunk(C, L, streams=1)
+            dp_parts, bl_parts, a_parts = [], [], []
+            for q0 in range(0, C, sub):
+                sc = score_g[:, q0 : q0 + sub]
+                st = starts_g[:, q0 : q0 + sub]
+                if kind == "viterbi":
+                    dp4, bl4, hist_g = lp.viterbi_chunk(
+                        sc, st, hist_g, interpret=interp
+                    )
+                    dp_parts.append(_groups_to_rows(dp4))
+                    bl_parts.append(_groups_to_rows(bl4))
+                else:
+                    a4, hist_g = lp.forward_chunk(
+                        sc, st, hist_g, interpret=interp
+                    )
+                    a_parts.append(_groups_to_rows(a4))
             if kind == "viterbi":
-                dp4, bl4, hist_g = lp.viterbi_chunk(
-                    score_g, starts_g, hist_g, interpret=interp
+                outs = (
+                    jnp.concatenate(dp_parts, axis=1),
+                    jnp.concatenate(bl_parts, axis=1),
                 )
-                outs = (_groups_to_rows(dp4), _groups_to_rows(bl4))
             else:
-                a4, hist_g = lp.forward_chunk(
-                    score_g, starts_g, hist_g, interpret=interp
-                )
-                outs = (_groups_to_rows(a4),)
+                outs = (jnp.concatenate(a_parts, axis=1),)
             return _hist_from_groups(hist_g), outs
 
         def step(h, xs):
@@ -702,10 +728,17 @@ def backward_expected(
             z_g = _rows_to_groups(z_c)
             ends_g = _rows_to_groups(ends.astype(jnp.float32))
             hist_g = _hist_to_groups(jnp.maximum(hist, lp.NEG))
-            marg_g, hist_g = lp.backward_chunk(
-                score_g, a_g, z_g, ends_g, hist_g,
-                interpret=_pallas_interpret(),
-            )
+            sub = _pallas_subchunk(C, L, streams=2)
+            marg_parts = []
+            # Backward: process sub-chunks in DESCENDING position order.
+            for q0 in range(C - sub, -1, -sub):
+                marg_g, hist_g = lp.backward_chunk(
+                    score_g[:, q0 : q0 + sub], a_g[:, q0 : q0 + sub],
+                    z_g[:, q0 : q0 + sub], ends_g[:, q0 : q0 + sub],
+                    hist_g, interpret=_pallas_interpret(),
+                )
+                marg_parts.insert(0, marg_g)
+            marg_g = jnp.concatenate(marg_parts, axis=1)
             # (G, C, L, 128) -> (B, L, C)
             margs = jnp.transpose(marg_g, (0, 3, 2, 1)).reshape(B, L, C)
             margs = jnp.where(matched, margs, 0.0)
