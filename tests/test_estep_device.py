@@ -118,3 +118,11 @@ def test_em_probe_close_to_exact(setup, monkeypatch):
                                 max_snippet=256, dtype=jnp.float32,
                                 probe="em")
     np.testing.assert_allclose(e_em, e_exact, rtol=0.02, atol=0.05)
+
+
+def test_device_encode_empty_sample(setup):
+    model, samples = setup
+    got = ed.encode_corpus_device(model, [b"", samples[0], b""])
+    want = model.native().encode_batch([b"", samples[0], b""])
+    assert got == want
+    assert got[0] == [] and got[2] == []

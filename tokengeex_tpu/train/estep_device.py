@@ -228,6 +228,10 @@ def encode_corpus_device(
     for (r, s, e, si, ci), ids in per_span_all:
         assert ci == 0, "encode packing must not chop samples"
         out[si] = ids
+    # Zero-length samples produce no packed span; they encode to [].
+    for si, ids in enumerate(out):
+        if ids is None:
+            out[si] = []
     return out  # type: ignore[return-value]
 
 
