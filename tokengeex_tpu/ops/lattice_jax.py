@@ -789,7 +789,7 @@ def backward_expected(
     return expected[:nbins]
 
 
-def fold_expected(tbl: DeviceTables, acc, dtype=jnp.float32) -> np.ndarray:
+def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:
     """Fold a backward_expected() accumulator to per-token counts (V,).
 
     Fast-path accumulators are slot-indexed; the host maps slots to ids

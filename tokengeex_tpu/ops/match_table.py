@@ -75,18 +75,6 @@ class TokenTable:
             vocab_size=v,
         )
 
-    def device_arrays(self, dtype=np.float32) -> dict:
-        """Arrays to ship to device (as a pytree dict)."""
-        import jax.numpy as jnp
-
-        scores = self.scores_f64 if dtype == np.float64 else self.scores
-        return {
-            "t1": jnp.asarray(self.t1.view(np.int32)),
-            "t2": jnp.asarray(self.t2.view(np.int32)),
-            "scores": jnp.asarray(scores.astype(dtype)),
-        }
-
-
 def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
     """Vectorized BFS-style cuckoo construction.
 
@@ -171,7 +159,8 @@ def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
 
 
 def _build_cuckoo(by_bytes: dict, bits: int):
-    """Standard cuckoo insertion with eviction; raises on cycle."""
+    """Per-entry cuckoo insertion (reference implementation; kept as the
+    differential check for the vectorized builder)."""
     size = 1 << bits
     t1 = np.zeros((size, 4), dtype=np.uint32)
     t2 = np.zeros((size, 4), dtype=np.uint32)

@@ -138,7 +138,7 @@ def run_e_step_device(
             exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
                                          drop_u=drop_u, dropout=dropout,
                                          backend=kernel, probe=probe)
-        exp_g = lj.fold_expected(dt, exp_g, dtype)
+        exp_g = lj.fold_expected(dt, exp_g)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         # Gather z on device: pulling all of A to host would dominate on
         # slow host links.
