@@ -9,7 +9,7 @@ equivalent multithreaded CPU implementation, semantics identical to the
 reference Rust encoder) on the same corpus and vocabulary — the
 reference itself publishes no numbers (see BASELINE.md).
 
-Env knobs: TGX_BENCH_MB (corpus size, default 16), TGX_BENCH_VOCAB
+Env knobs: TGX_BENCH_MB (corpus size, default 8), TGX_BENCH_VOCAB
 (default 4096), TGX_BENCH_WIDTH (default 8192).
 """
 
@@ -46,7 +46,7 @@ def build_corpus(nbytes: int):
 
 
 def main():
-    corpus_mb = float(os.environ.get("TGX_BENCH_MB", "16"))
+    corpus_mb = float(os.environ.get("TGX_BENCH_MB", "8"))
     vocab_size = int(os.environ.get("TGX_BENCH_VOCAB", "4096"))
     width = int(os.environ.get("TGX_BENCH_WIDTH", "8192"))
 

@@ -202,3 +202,22 @@ def test_viterbi_tie_break_longest_token():
     spans = lj.backtrack(packed, np.asarray(dp), np.asarray(best_l),
                          {t.value: i for i, t in enumerate(vocab)})
     assert spans[0] == [2]
+
+
+def test_packing_rejects_oversize_and_width_multiple():
+    from tokengeex_tpu.utils.packing import pack_samples
+
+    with pytest.raises(ValueError):
+        pack_samples([b"x" * 100], width=64)
+    packed = pack_samples([b"x" * 100], width=64, max_snippet=64)
+    assert packed.rows % 8 == 0
+    assert sum(e - s for (_, s, e, _, _) in packed.spans) == 100
+
+
+def test_best_l_fits_int8():
+    # encode ships backpointers as int8; token lengths must stay < 128
+    from tokengeex_tpu.ops.match_table import TokenTable
+
+    vocab = [ScoredToken(b"a" * 100, -1.0), ScoredToken(b"a", -2.0)]
+    tbl = TokenTable.build(vocab)
+    assert tbl.max_token_len < 128
