@@ -24,6 +24,16 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def _shard_map():
+    import jax
+
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map
+    from jax.experimental.shard_map import shard_map  # jax < 0.8
+
+    return shard_map
+
+
 def get_mesh(n_devices: Optional[int] = None, axis: str = "data"):
     import jax
     from jax.sharding import Mesh
@@ -57,8 +67,9 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = _shard_map()
 
     from ..ops import lattice_jax as lj
 
@@ -99,8 +110,9 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
     """Mesh-sharded Viterbi over packed rows: returns
     fn(batch arrays) -> (dp, best_l, best_id), all row-sharded."""
     import jax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = _shard_map()
 
     from ..ops import lattice_jax as lj
 
