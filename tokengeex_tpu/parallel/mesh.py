@@ -25,13 +25,17 @@ import numpy as np
 
 
 def _shard_map():
+    import functools
+
     import jax
 
     if hasattr(jax, "shard_map"):
         return jax.shard_map
-    from jax.experimental.shard_map import shard_map  # jax < 0.8
+    # jax < 0.8: the experimental API needs check_rep=False for psum
+    # with replicated outputs.
+    from jax.experimental.shard_map import shard_map
 
-    return shard_map
+    return functools.partial(shard_map, check_rep=False)
 
 
 def get_mesh(n_devices: Optional[int] = None, axis: str = "data"):
@@ -100,7 +104,6 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(axis), P()),
-        check_rep=False,
     )
     return jax.jit(sharded)
 
@@ -132,7 +135,6 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
         mesh=mesh,
         in_specs=(P(axis),) * 6 + (P(), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
     )
     return jax.jit(sharded)
 
