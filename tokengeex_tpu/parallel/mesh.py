@@ -25,17 +25,23 @@ import numpy as np
 
 
 def _shard_map():
+    """The legacy shard_map with check_rep=False: the new jax.shard_map
+    enforces varying-axis typing on scan carries (our count accumulator
+    starts unvarying and becomes varying after the sharded scatter),
+    which the legacy API permits."""
     import functools
+    import warnings
 
-    import jax
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.experimental.shard_map import shard_map
 
-    if hasattr(jax, "shard_map"):
+        return functools.partial(shard_map, check_rep=False)
+    except ImportError:
+        import jax
+
         return jax.shard_map
-    # jax < 0.8: the experimental API needs check_rep=False for psum
-    # with replicated outputs.
-    from jax.experimental.shard_map import shard_map
-
-    return functools.partial(shard_map, check_rep=False)
 
 
 def get_mesh(n_devices: Optional[int] = None, axis: str = "data"):
