@@ -10,8 +10,8 @@ protects it from pruning/filtering.
 from __future__ import annotations
 
 import base64
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Tuple
 
 # TokenID is a plain int <= 2**32-1 (reference: src/lib.rs:19).
 TokenID = int

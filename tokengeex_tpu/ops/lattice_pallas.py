@@ -21,7 +21,6 @@ the first/smallest index).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

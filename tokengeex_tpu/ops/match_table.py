@@ -16,7 +16,7 @@ the vocabulary can alias only with ~1e-13 probability per probe).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -17,9 +17,8 @@ helpers; each process feeds its local corpus shard
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
@@ -76,7 +75,6 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     ops.lattice_jax.fold_expected) is psum-reduced and replicated.
     """
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     shard_map = _shard_map()

@@ -12,7 +12,6 @@ count tensors reduced with psum (parallel/mesh.py).
 from __future__ import annotations
 
 import logging
-import math
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -21,7 +21,7 @@ import logging
 import math
 import re as _re
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import dataclasses
 import logging
 import re
 from collections import Counter
-from typing import List, Optional, Sequence, Set, Tuple
+from typing import Sequence, Set, Tuple
 
 from ..core.types import ScoredToken
 from ..models.unigram import Model
