@@ -457,6 +457,55 @@ def _probe_mode(dtype) -> str:
     return "exact" if dtype == jnp.float64 else "fast"
 
 
+def match_cache(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    C: int = 512,
+    dtype=jnp.float32,
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    probe: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Probe the whole batch ONCE: start-indexed (score, aux) of shape
+    (B, L, W). The EM E-step runs the vocabulary probe here and feeds
+    both the forward and backward scans from the cache, halving the
+    gather volume (the dominant cost)."""
+    B = batch.p1.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    assert W % C == 0
+    mode = probe or _probe_mode(dtype)
+
+    def body(_, chunk_idx):
+        s, a = _match_slab(
+            tbl, batch, chunk_idx * C, C, L, drop_u, dropout, dtype, mode=mode
+        )
+        return None, (s, a)
+
+    _, (scores, aux) = jax.lax.scan(body, None, jnp.arange(W // C))
+    # (nchunks, B, L, C) -> (B, L, W)
+    scores = jnp.transpose(scores, (1, 2, 0, 3)).reshape(B, L, W)
+    aux = jnp.transpose(aux, (1, 2, 0, 3)).reshape(B, L, W)
+    return scores, aux
+
+
+def _cache_end_view(score_cache: jax.Array, chunk_start, C: int, L: int,
+                    dtype) -> jax.Array:
+    """End-indexed (B, L, C) chunk view of a start-indexed cache.
+
+    Row j at dp step q needs the token of length l=j+1 beginning at
+    chunk_start + q - j; pad L leading positions with NEG so early
+    chunks read misses for out-of-range starts."""
+    B, _, W = score_cache.shape
+    neg = jnp.array(NEG_INF, dtype=dtype)
+    padded = jnp.pad(score_cache, ((0, 0), (0, 0), (L, 0)),
+                     constant_values=NEG_INF)
+    slab = jax.lax.dynamic_slice(padded, (0, 0, chunk_start), (B, L, C + L))
+    return jnp.stack(
+        [slab[:, j, L - j : L - j + C] for j in range(L)], axis=1
+    )
+
+
 def _forward_chunk(tbl, batch, chunk_start, C, L, dtype, drop_u, dropout,
                    probe=None):
     """End-indexed match scores for one chunk of C dp steps.
@@ -535,6 +584,7 @@ def _scan_forward(
     dropout: float = 0.0,
     backend: str = "xla",
     probe: Optional[str] = None,
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     B = batch.p1.shape[0]
     W = batch.width
@@ -550,9 +600,12 @@ def _scan_forward(
 
     def chunk_body(hist, chunk_idx):
         chunk_start = chunk_idx * C
-        score_e = _forward_chunk(
-            tbl, batch, chunk_start, C, L, dtype, drop_u, dropout, probe
-        )
+        if cache is not None:
+            score_e = _cache_end_view(cache[0], chunk_start, C, L, dtype)
+        else:
+            score_e = _forward_chunk(
+                tbl, batch, chunk_start, C, L, dtype, drop_u, dropout, probe
+            )
         starts = jax.lax.dynamic_slice(is_start_steps, (0, chunk_start), (B, C))
 
         if backend == "pallas":
@@ -652,10 +705,10 @@ def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
 
 
 def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0, backend="xla", probe=None):
+            drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None):
     """EM forward pass: A (B, W+1) log-prob of segmenting each prefix."""
     return _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype, drop_u,
-                         dropout, backend, probe)
+                         dropout, backend, probe, cache)
 
 
 # ---------------------------------------------------------------------------
@@ -674,6 +727,7 @@ def backward_expected(
     dropout: float = 0.0,
     backend: str = "xla",
     probe: Optional[str] = None,
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Expected-count accumulator: scatter-added marginals
     exp(A[p] + score + B[p+l] - z) per matched token occurrence
@@ -705,9 +759,16 @@ def backward_expected(
         hist, expected = carry
         chunk_idx = (nchunks - 1) - chunk_idx_rev
         chunk_start = chunk_idx * C
-        score_s, aux_s = _match_slab(
-            tbl, batch, chunk_start, C, L, drop_u, dropout, dtype, mode=mode
-        )
+        if cache is not None:
+            score_s = jax.lax.dynamic_slice(
+                cache[0], (0, 0, chunk_start), (B, L, C))
+            aux_s = jax.lax.dynamic_slice(
+                cache[1], (0, 0, chunk_start), (B, L, C))
+        else:
+            score_s, aux_s = _match_slab(
+                tbl, batch, chunk_start, C, L, drop_u, dropout, dtype,
+                mode=mode
+            )
         ends = jax.lax.dynamic_slice(is_end_steps, (0, chunk_start), (B, C))
         a_c = jax.lax.dynamic_slice(A, (0, chunk_start), (B, C)).astype(dtype)
         # A[p] at a boundary stores the PREVIOUS sample's total (pre-reset);

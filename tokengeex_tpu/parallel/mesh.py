@@ -91,12 +91,16 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
+        # Probe once; forward and backward share the cache.
+        cache = lj.match_cache(dt, batch, C=chunk, dtype=dtype,
+                               drop_u=drop_u, dropout=dropout, probe=probe)
         A = lj.forward(dt, batch, C=chunk, dtype=dtype,
                        drop_u=drop_u, dropout=dropout, backend=kernel,
-                       probe=probe)
+                       probe=probe, cache=cache)
         expected = lj.backward_expected(dt, batch, A, C=chunk, dtype=dtype,
                                         drop_u=drop_u, dropout=dropout,
-                                        backend=kernel, probe=probe)
+                                        backend=kernel, probe=probe,
+                                        cache=cache)
         expected = jax.lax.psum(expected, axis)
         return A, expected
 

@@ -131,12 +131,21 @@ def run_e_step_device(
                 args = args + (drop_u,)
             A, exp_g = step(*args)
         else:
+            # Probe once per group; forward/backward share the cache
+            # unless it would not fit comfortably in HBM.
+            cache = None
+            cache_bytes = batch.p1.shape[0] * width * L * 8
+            if cache_bytes <= (1 << 31):
+                cache = lj.match_cache(dt, batch, C=CHUNK, dtype=dtype,
+                                       drop_u=drop_u, dropout=dropout,
+                                       probe=probe)
             A = lj.forward(dt, batch, C=CHUNK, dtype=dtype,
                            drop_u=drop_u, dropout=dropout, backend=kernel,
-                           probe=probe)
+                           probe=probe, cache=cache)
             exp_g = lj.backward_expected(dt, batch, A, C=CHUNK, dtype=dtype,
                                          drop_u=drop_u, dropout=dropout,
-                                         backend=kernel, probe=probe)
+                                         backend=kernel, probe=probe,
+                                         cache=cache)
         exp_g = lj.fold_expected(dt, exp_g)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         # Gather z on device: pulling all of A to host would dominate on
