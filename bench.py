@@ -134,10 +134,13 @@ def main():
             b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
                                is_end=is_end, end_index=end_index,
                                rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-            A = lj.forward(dt, b, C=min(512, width), unroll=8,
-                           dtype=jnp.float32, backend=kernel)
-            acc = lj.backward_expected(dt, b, A, C=min(512, width), unroll=8,
-                                       dtype=jnp.float32, backend=kernel)
+            Cc = min(512, width)
+            cache = lj.match_cache(dt, b, C=Cc, dtype=jnp.float32, probe="em")
+            A = lj.forward(dt, b, C=Cc, unroll=8, dtype=jnp.float32,
+                           backend=kernel, probe="em", cache=cache)
+            acc = lj.backward_expected(dt, b, A, C=Cc, unroll=8,
+                                       dtype=jnp.float32, backend=kernel,
+                                       probe="em", cache=cache)
             return A, acc
 
         t0 = time.time()
