@@ -693,7 +693,7 @@ def _scan_forward(
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0, backend="xla", probe=None):
+            drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None):
     """dp scores + backpointers for the packed batch.
 
     Returns (dp, best_l), each (B, W), indexed by dp index p-1. Token
@@ -701,7 +701,7 @@ def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
     host from the matched byte spans.
     """
     return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u,
-                         dropout, backend, probe)
+                         dropout, backend, probe, cache)
 
 
 def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
