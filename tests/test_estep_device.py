@@ -126,3 +126,17 @@ def test_device_encode_empty_sample(setup):
     want = model.native().encode_batch([b"", samples[0], b""])
     assert got == want
     assert got[0] == [] and got[2] == []
+
+
+def test_device_encode_dropout_sampling(setup):
+    model, samples = setup
+    got = ed.encode_corpus_device(model, samples[:6], dropout=0.5, seed=3)
+    for s, ids in zip(samples[:6], got):
+        # Sampled segmentations still decode exactly.
+        assert model.decode_bytes(ids) == s
+    got0 = ed.encode_corpus_device(model, samples[:6])
+    # dropout=1.0 forbids all multi-byte tokens (reference:
+    # src/model.rs:218-236 semantics).
+    got1 = ed.encode_corpus_device(model, samples[:6], dropout=1.0)
+    for s, ids in zip(samples[:6], got1):
+        assert len(ids) == len(s)

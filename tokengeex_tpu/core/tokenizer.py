@@ -81,18 +81,21 @@ class Tokenizer:
         spans as one packed TPU batch; "auto"/"native" use the threaded
         C++ runtime (or the oracle).
         """
-        if backend == "device" and dropout == 0.0:
-            return self._encode_batch_device(texts, ordinary=False)
+        if backend == "device":
+            return self._encode_batch_device(texts, ordinary=False,
+                                             dropout=dropout)
         return [self.encode(t, dropout) for t in texts]
 
     def encode_ordinary_batch(self, texts: Sequence[str], dropout: float = 0.0,
                               backend: str = "auto") -> List[List[int]]:
-        if backend == "device" and dropout == 0.0:
-            return self._encode_batch_device(texts, ordinary=True)
+        if backend == "device":
+            return self._encode_batch_device(texts, ordinary=True,
+                                             dropout=dropout)
         return [self.encode_ordinary(t, dropout) for t in texts]
 
     def _encode_batch_device(self, texts: Sequence[str],
-                             ordinary: bool) -> List[List[int]]:
+                             ordinary: bool,
+                             dropout: float = 0.0) -> List[List[int]]:
         """Gather every ordinary span across the batch, Viterbi-encode
         them as one packed device batch, and stitch special ids back."""
         from ..train.estep_device import encode_corpus_device
@@ -117,7 +120,7 @@ class Tokenizer:
                     spans.append(processed.encode("utf-8"))
             layout.append(parts)
 
-        encoded = encode_corpus_device(self.model, spans)
+        encoded = encode_corpus_device(self.model, spans, dropout=dropout)
         out: List[List[int]] = []
         for parts in layout:
             ids: List[int] = []

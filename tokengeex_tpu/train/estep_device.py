@@ -176,10 +176,14 @@ def encode_corpus_device(
     task=None,
     dtype=None,
     kernel: Optional[str] = None,
+    dropout: float = 0.0,
+    seed: int = 0,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
-    all local devices when more than one is present."""
+    all local devices when more than one is present. dropout > 0 samples
+    segmentations by skipping multi-byte candidates with probability
+    dropout (reference: src/model.rs:100)."""
     import jax
     import jax.numpy as jnp
 
@@ -195,12 +199,13 @@ def encode_corpus_device(
     packed = pack_samples(samples, width=width, max_snippet=None)
 
     n_dev = len(jax.devices())
-    use_mesh = n_dev > 1
+    use_mesh = n_dev > 1 and dropout == 0.0
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
     if use_mesh:
         mesh = pmesh.get_mesh()
         vit = pmesh.sharded_viterbi(dt, mesh, width=width, chunk=CHUNK,
                                     dtype=dtype, kernel=kernel)
+    key = jax.random.PRNGKey(seed)
 
     per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
     for r0, r1 in _row_groups(packed, width):
@@ -211,8 +216,16 @@ def encode_corpus_device(
         if use_mesh:
             dp, best_l = vit(*pmesh.batch_to_arrays(batch))
         else:
+            drop_u = None
+            if dropout > 0.0:
+                key, sub_key = jax.random.split(key)
+                drop_u = jax.random.randint(
+                    sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+                )
             dp, best_l = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
-                                    backend=kernel)
+                                    backend=kernel, drop_u=drop_u,
+                                    dropout=dropout)
         # Fetch backpointers as int8 and only the span-end dp values —
         # the full f32 dp matrix would dominate on slow host links.
         import jax.numpy as _jnp
