@@ -42,11 +42,17 @@ class TokenTable:
 
     @staticmethod
     def build(vocab: Sequence[ScoredToken], max_probe_len: Optional[int] = None,
+              min_bits: Optional[int] = None, min_len: Optional[int] = None,
               _seed_salt: int = 0) -> "TokenTable":
+        """min_bits / min_len pad the table size and probe length so that
+        shrinking vocabularies (EM prune rounds) keep identical device
+        shapes — one compile serves every round."""
         v = len(vocab)
         max_len = max((len(t.value) for t in vocab), default=1)
         if max_probe_len is not None:
             max_len = min(max_len, max_probe_len)
+        if min_len is not None:
+            max_len = max(max_len, min_len)
 
         # Deduplicate: later ids win (reference: src/model.rs:20-23).
         by_bytes = {}
@@ -55,6 +61,8 @@ class TokenTable:
                 by_bytes[t.value] = i
 
         bits = max(8, int(np.ceil(np.log2(max(len(by_bytes), 1)))) + 1)
+        if min_bits is not None:
+            bits = max(bits, min_bits)
         for attempt in range(4):
             try:
                 t1, t2 = _build_cuckoo_vectorized(by_bytes, bits, max_len)

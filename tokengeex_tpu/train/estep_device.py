@@ -74,6 +74,7 @@ def run_e_step_device(
     seed: int = 0,
     kernel: Optional[str] = None,
     probe: Optional[str] = None,
+    table_hints: Optional[Tuple[int, int]] = None,  # (min_bits, min_len)
 ) -> np.ndarray:
     """Expected token counts over the corpus (reference: src/prune.rs:64-120).
 
@@ -95,7 +96,8 @@ def run_e_step_device(
         # on the f32 fast path; see DeviceTables docs for the accuracy
         # trade-off.
         probe = "em" if dtype == jnp.float32 else None
-    tbl = TokenTable.build(model.vocab)
+    hb, hl = table_hints or (None, None)
+    tbl = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
     width = _pick_width(samples, max_snippet)
@@ -178,6 +180,7 @@ def encode_corpus_device(
     kernel: Optional[str] = None,
     dropout: float = 0.0,
     seed: int = 0,
+    table_hints: Optional[Tuple[int, int]] = None,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
@@ -192,7 +195,8 @@ def encode_corpus_device(
     if dtype is None:
         dtype = jnp.float32
     kernel = kernel or _default_backend()
-    tbl = TokenTable.build(model.vocab)
+    hb, hl = table_hints or (None, None)
+    tbl = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
     width = _pick_width(samples, None)
@@ -257,9 +261,12 @@ def encode_corpus_device(
 
 
 def count_frequencies_device(model: Model, samples: Sequence[bytes],
-                             task=None) -> np.ndarray:
+                             task=None,
+                             table_hints: Optional[Tuple[int, int]] = None,
+                             ) -> np.ndarray:
     """Viterbi token frequencies (reference: src/prune.rs:205-246)."""
-    encoded = encode_corpus_device(model, samples, task)
+    encoded = encode_corpus_device(model, samples, task,
+                                   table_hints=table_hints)
     freqs = np.zeros(model.vocab_size(), dtype=np.int64)
     for ids in encoded:
         if ids:

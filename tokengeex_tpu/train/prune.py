@@ -95,6 +95,14 @@ class VocabularyPruner:
               checkpoint_cb=None) -> Model:
         """reference: src/prune.rs:23-57."""
         rounds = 0
+        # Pin device table shapes to the initial vocabulary so every EM
+        # round reuses the same compiled graphs.
+        import math as _math
+
+        self._table_hints = (
+            max(8, int(_math.ceil(_math.log2(max(model.vocab_size(), 1)))) + 1),
+            max((len(t.value) for t in model.vocab), default=1),
+        )
         while model.vocab_size() > self.vocab_size:
             for subiter in range(self.em_subiters):
                 log.info("EM subiter %d/%d", subiter + 1, self.em_subiters)
@@ -131,7 +139,8 @@ class VocabularyPruner:
                 from .estep_device import run_e_step_device
 
                 expected = run_e_step_device(
-                    model, samples, self.dropout, MAX_SAMPLE_LENGTH, task
+                    model, samples, self.dropout, MAX_SAMPLE_LENGTH, task,
+                    table_hints=getattr(self, "_table_hints", None),
                 )
             elif backend == "native":
                 native = model.native()
@@ -304,7 +313,10 @@ class VocabularyPruner:
         if backend == "device":
             from .estep_device import count_frequencies_device
 
-            return count_frequencies_device(model, samples, task)
+            return count_frequencies_device(
+                model, samples, task,
+                table_hints=getattr(self, "_table_hints", None),
+            )
         native = model.native()
         if native is not None:
             freqs = native.count_frequencies(samples)
