@@ -272,3 +272,10 @@ def test_splitter_multibyte_boundaries():
     assert got == [("你好", False), ("<s>", True), ("世界", False)]
     got2 = list(split_special_tokens("<s>你<s>", specials))
     assert got2 == [("<s>", True), ("你", False), ("<s>", True)]
+
+
+def test_splitter_multibyte_special_token():
+    # Special tokens may themselves contain multibyte characters.
+    specials = ["<好>"]
+    got = list(split_special_tokens("a<好>b", specials))
+    assert got == [("a", False), ("<好>", True), ("b", False)]
