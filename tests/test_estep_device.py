@@ -140,3 +140,15 @@ def test_device_encode_dropout_sampling(setup):
     got1 = ed.encode_corpus_device(model, samples[:6], dropout=1.0)
     for s, ids in zip(samples[:6], got1):
         assert len(ids) == len(s)
+
+
+def test_device_encode_turbo_probe(setup):
+    model, samples = setup
+    got = ed.encode_corpus_device(model, samples[:8], probe="em")
+    exact = ed.encode_corpus_device(model, samples[:8])
+    diffs = 0
+    for s, ids, ref in zip(samples[:8], got, exact):
+        assert model.decode_bytes(ids) == s  # always a valid segmentation
+        diffs += ids != ref
+    # Quantized scores may flip near-ties but most outputs agree.
+    assert diffs <= 2

@@ -181,12 +181,18 @@ def encode_corpus_device(
     dropout: float = 0.0,
     seed: int = 0,
     table_hints: Optional[Tuple[int, int]] = None,
+    probe: Optional[str] = None,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
     all local devices when more than one is present. dropout > 0 samples
     segmentations by skipping multi-byte candidates with probability
-    dropout (reference: src/model.rs:100)."""
+    dropout (reference: src/model.rs:100).
+
+    probe="em" is the 2x-throughput turbo mode: scores quantized to
+    ~1e-3 logprob, so segmentations can differ from the reference on
+    near-ties (see DeviceTables docs); default is the parity-grade
+    probe."""
     import jax
     import jax.numpy as jnp
 
@@ -229,7 +235,7 @@ def encode_corpus_device(
                 )
             dp, best_l = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
                                     backend=kernel, drop_u=drop_u,
-                                    dropout=dropout)
+                                    dropout=dropout, probe=probe)
         # Fetch backpointers as int8 and only the span-end dp values —
         # the full f32 dp matrix would dominate on slow host links.
         import jax.numpy as _jnp
