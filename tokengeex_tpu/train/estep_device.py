@@ -26,7 +26,7 @@ log = logging.getLogger(__name__)
 # Position-chunk length for the outer scan; width is padded to a multiple.
 CHUNK = 512
 # Target bytes per device dispatch (rows_per_group * width).
-GROUP_BYTES = 1 << 22
+GROUP_BYTES = 1 << 23
 
 
 def _pick_width(samples: Sequence[bytes], max_snippet: Optional[int]) -> int:
