@@ -19,8 +19,20 @@ import numpy as np
 from ..core.types import NoPathError, ScoredToken
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "tokengeex_native.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libtokengeex_native.so")
+_NATIVE_DIR = os.environ.get("TOKENGEEX_NATIVE_DIR") or os.path.join(_REPO_ROOT, "native")
+_SRC = os.path.join(_NATIVE_DIR, "tokengeex_native.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libtokengeex_native.so")
+
+
+def _lib_target() -> str:
+    """Build destination: next to the source if writable, else a per-user
+    cache dir (read-only checkouts, installed packages)."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _LIB
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    d = os.path.join(cache, "tokengeex_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "libtokengeex_native.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -36,15 +48,16 @@ def default_threads() -> int:
 
 def build(force: bool = False) -> str:
     """Compile the native library with g++ -O3."""
-    if force or not os.path.exists(_LIB) or (
-        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    target = _lib_target()
+    if force or not os.path.exists(target) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(target)
     ):
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-pthread", _SRC, "-o", _LIB,
+            "-pthread", _SRC, "-o", target,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB
+    return target
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
