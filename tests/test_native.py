@@ -118,3 +118,29 @@ def test_prune_alternatives(setup):
             assert alts[tid] == want_alts, (tid, vocab[tid], alts[tid], want_alts)
         else:
             assert alts[tid] == []
+
+
+def test_missing_native_dir_falls_back_to_oracle(tmp_path):
+    """With TOKENGEEX_NATIVE_DIR pointing nowhere (and an empty cache dir),
+    the library degrades to the Python oracle with a warning (subprocess:
+    the dir is resolved at import time)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TOKENGEEX_NATIVE_DIR="/nonexistent-tg-native",
+               XDG_CACHE_HOME=str(tmp_path), PYTHONPATH=root)
+    out = subprocess.run(
+        [sys.executable, "-c", (
+            "import logging; logging.basicConfig(level=logging.WARNING)\n"
+            "from tokengeex_tpu.utils import nativelib\n"
+            "assert nativelib.get_lib() is None\n"
+            "from tokengeex_tpu.core.types import new_default_vocab\n"
+            "from tokengeex_tpu.models.unigram import Model\n"
+            "print(Model(new_default_vocab()).encode('hi'))\n"
+        )],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "[104, 105]" in out.stdout
+    assert "falling back to the Python oracle" in out.stderr

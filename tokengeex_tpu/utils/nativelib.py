@@ -9,6 +9,7 @@ with g++; everything degrades to the Python oracle when unavailable.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
@@ -52,6 +53,8 @@ def build(force: bool = False) -> str:
     if force or not os.path.exists(target) or (
         os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(target)
     ):
+        if not os.path.exists(_SRC):
+            raise FileNotFoundError(f"native source not found: {_SRC}")
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             "-pthread", _SRC, "-o", target,
@@ -70,7 +73,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             path = build()
             lib = ctypes.CDLL(path)
-        except Exception:
+        except Exception as e:
+            logging.getLogger("tokengeex").warning(
+                "native runtime unavailable (%s: %s); falling back to the "
+                "Python oracle — set TOKENGEEX_NATIVE_DIR to the directory "
+                "containing tokengeex_native.cpp to enable it",
+                type(e).__name__, e)
             _lib_failed = True
             return None
         c_u8p = ctypes.POINTER(ctypes.c_uint8)
