@@ -276,7 +276,8 @@ class OracleModel:
         (longest-token) path on exact ties.
         """
         rng = rng or random
-        data = text.encode("utf-8")
+        data = (bytes(text) if isinstance(text, (bytes, bytearray, memoryview))
+                else text.encode("utf-8"))
         n = len(data)
         # dp[i] = (id, score, start) ; start None = unreachable.
         dp_id = [0] * (n + 1)
