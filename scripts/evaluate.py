@@ -22,26 +22,20 @@ def make_encoder(lib: str, f: str):
         try:
             enc = tiktoken.encoding_for_model(f)
         except KeyError:
-            file, model = f.split(":")
-
-            def load_tiktoken_bpe(file):
-                with open(file, "rb") as fh:
-                    contents = fh.read()
-                return {
-                    base64.b64decode(token): int(rank)
-                    for token, rank in (
-                        line.split() for line in contents.splitlines() if line
-                    )
-                }
-
-            mergeable_ranks = load_tiktoken_bpe(file)
-            enc = tiktoken.Encoding(
-                name="custom",
-                mergeable_ranks=mergeable_ranks,
-                pat_str=tiktoken.encoding_for_model(model)._pat_str,
-                special_tokens={},
-                explicit_n_vocab=len(mergeable_ranks),
-            )
+            # Not a known model name: treat as "<ranks-path>:<model>",
+            # a custom .tiktoken rank table (one "<base64-token> <rank>"
+            # per line) paired with the named model's split pattern.
+            path, model = f.split(":")
+            ranks = {}
+            with open(path, "rb") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        tok_b64, _, rank = line.partition(b" ")
+                        ranks[base64.b64decode(tok_b64)] = int(rank)
+            pat = tiktoken.encoding_for_model(model)._pat_str
+            enc = tiktoken.Encoding("custom", pat_str=pat,
+                                    mergeable_ranks=ranks, special_tokens={})
         return enc.encode_ordinary, enc.n_vocab
     if lib == "sentencepiece":
         import sentencepiece

@@ -142,6 +142,19 @@ def test_device_encode_dropout_sampling(setup):
         assert len(ids) == len(s)
 
 
+def test_device_encode_dropout_sharded_deterministic(setup):
+    # With 8 virtual devices, dropout encode goes through the sharded
+    # mesh path (no silent single-device fallback); same seed must give
+    # the same sampled segmentations, and every output must decode back.
+    model, samples = setup
+    assert len(jax.devices()) > 1
+    got = ed.encode_corpus_device(model, samples[:8], dropout=0.5, seed=11)
+    got2 = ed.encode_corpus_device(model, samples[:8], dropout=0.5, seed=11)
+    assert got == got2
+    for s, ids in zip(samples[:8], got):
+        assert model.decode_bytes(ids) == s
+
+
 def test_device_encode_turbo_probe(setup):
     model, samples = setup
     got = ed.encode_corpus_device(model, samples[:8], probe="em")

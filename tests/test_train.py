@@ -30,6 +30,12 @@ def test_generate():
         "i also like std::vector",
         "and std::vector<std::string>",
         "and std::map<int, std::string>",
+        # Deviation from the reference fixture (src/generate.rs:261-266):
+        # "goodbye" never occurs there, so the reference's own test would
+        # panic at the `.expect` in generate.rs:186 (no test CI upstream;
+        # see test_generate_absent_added_token_raises for the panic
+        # parity). One extra sample makes the fixture self-consistent.
+        "goodbye world",
     ]
     generator.feed(samples)
     vocab = generator.generate(256 + 10)
@@ -45,6 +51,33 @@ def test_generate():
     # byte seed excludes 0xFF (reference quirk, src/generate.rs:164)
     assert b"\xff" not in byval
     assert b"\x00" in byval
+
+
+def test_generate_special_token_counting_per_sample():
+    # Added/suggested tokens join the SAME per-sample set as substring
+    # candidates with one coin per occurrence and break-on-success
+    # (reference: src/generate.rs:117-126): with p=1.0 a token occurring
+    # k times in a sample counts exactly once per sample, even when it
+    # also qualifies as a substring candidate.
+    g = VocabularyGenerator(max_token_length=3, insert_probability=1.0,
+                            added_tokens=["zq"], seed=0)
+    g.feed(["zq zq zq zq", "zq", "no match here"])
+    assert g.frequencies["zq"] == 2
+    # Same semantics on the pure-Python path (split forces it).
+    g2 = VocabularyGenerator(max_token_length=3, insert_probability=1.0,
+                             added_tokens=["zq"], split=r"\S+", seed=0)
+    g2.feed(["zq zq zq zq", "zq", "no match here"])
+    assert g2.frequencies["zq"] == 2
+
+
+def test_generate_absent_added_token_raises():
+    # reference: src/generate.rs:186 panics when an added/suggested
+    # token was never counted during feed.
+    g = VocabularyGenerator(max_token_length=6, insert_probability=1.0,
+                            added_tokens=["goodbye"], seed=0)
+    g.feed(["hello world"])
+    with pytest.raises(ValueError, match="should be present"):
+        g.generate(300)
 
 
 def test_generate_full_byte_seed_flag():

@@ -117,9 +117,12 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
 
 
 def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
-                    kernel: str = "xla"):
+                    kernel: str = "xla", dropout: float = 0.0,
+                    probe=None):
     """Mesh-sharded Viterbi over packed rows: returns
-    fn(batch arrays) -> (dp, best_l, best_id), all row-sharded."""
+    fn(batch arrays[, drop_u]) -> (dp, best_l), all row-sharded.
+    dropout > 0 samples segmentations per chip (drop_u row-sharded like
+    the batch; reference: src/model.rs:100)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -130,18 +133,22 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
     axis = mesh.axis_names[0]
     L = dt.max_len
 
-    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
+                   drop_u=None):
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
-        return lj.viterbi(dt, batch, C=chunk, dtype=dtype, backend=kernel)
+        return lj.viterbi(dt, batch, C=chunk, dtype=dtype, backend=kernel,
+                          drop_u=drop_u, dropout=dropout, probe=probe)
 
+    base_specs = (P(axis),) * 6 + (P(), P())
+    in_specs = base_specs + ((P(axis),) if dropout > 0.0 else ())
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis),) * 6 + (P(), P()),
+        in_specs=in_specs,
         out_specs=(P(axis), P(axis)),
     )
     return jax.jit(sharded)

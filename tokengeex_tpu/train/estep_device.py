@@ -209,12 +209,13 @@ def encode_corpus_device(
     packed = pack_samples(samples, width=width, max_snippet=None)
 
     n_dev = len(jax.devices())
-    use_mesh = n_dev > 1 and dropout == 0.0
+    use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
     if use_mesh:
         mesh = pmesh.get_mesh()
         vit = pmesh.sharded_viterbi(dt, mesh, width=width, chunk=CHUNK,
-                                    dtype=dtype, kernel=kernel)
+                                    dtype=dtype, kernel=kernel,
+                                    dropout=dropout, probe=probe)
     key = jax.random.PRNGKey(seed)
 
     per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
@@ -223,16 +224,19 @@ def encode_corpus_device(
         if use_mesh or kernel == "pallas":
             sub = pmesh.pad_rows_to_multiple(sub, row_mult)
         batch = lj.prepare_batch(sub, L)
+        drop_u = None
+        if dropout > 0.0:
+            key, sub_key = jax.random.split(key)
+            drop_u = jax.random.randint(
+                sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+            )
         if use_mesh:
-            dp, best_l = vit(*pmesh.batch_to_arrays(batch))
-        else:
-            drop_u = None
+            args = pmesh.batch_to_arrays(batch)
             if dropout > 0.0:
-                key, sub_key = jax.random.split(key)
-                drop_u = jax.random.randint(
-                    sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
-                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
-                )
+                args = args + (drop_u,)
+            dp, best_l = vit(*args)
+        else:
             dp, best_l = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
                                     backend=kernel, drop_u=drop_u,
                                     dropout=dropout, probe=probe)

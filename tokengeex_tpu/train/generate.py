@@ -61,10 +61,6 @@ class VocabularyGenerator:
 
     def __post_init__(self):
         self.frequencies: Counter = Counter()
-        for token in self.added_tokens:
-            self.frequencies[token] += 1
-        for token in self.suggested_tokens:
-            self.frequencies[token] += 1
         self._dfa: Optional[ByteDFA] = None
         if self.allow:
             self._dfa = compile_dfa(self.allow)
@@ -83,42 +79,91 @@ class VocabularyGenerator:
         task.start()
         try:
             nbytes = sum(len(s.encode("utf-8", "ignore")) for s in samples)
-            if self._split_re is None and self._feed_native(samples):
-                pass
+            counts = self._feed_native(samples) if self._split_re is None \
+                else None
+            if counts is not None:
+                # The native counter already flipped the substring-path
+                # coins for any special token that qualifies as a
+                # candidate; replace its counts with the exact per-sample
+                # union of both paths (see _feed_special_native).
+                for token in self._special_tokens():
+                    counts.pop(token, None)
+                self.frequencies.update(counts)
+                self._feed_special_native(samples)
             else:
                 freqs: Counter = Counter()
                 for sample in samples:
-                    tokens = set()
+                    tokens: set = set()
                     if self._split_re is not None:
                         for m in self._split_re.finditer(sample):
                             self._feed_part(m.group(0), tokens)
                     else:
                         self._feed_part(sample, tokens)
+                    self._feed_special_sample(sample, tokens)
                     freqs.update(tokens)
                 self.frequencies.update(freqs)
-            self._feed_special(samples)
             task.record(nbytes, len(samples))
         finally:
             task.finish()
 
-    def _feed_special(self, samples: Sequence[str]) -> None:
-        """Added/suggested tokens counted when present
+    def _special_tokens(self) -> List[str]:
+        return list(self.added_tokens) + list(self.suggested_tokens)
+
+    def _feed_special_sample(self, sample: str, tokens: set) -> None:
+        """Added/suggested tokens: one coin per occurrence, break on the
+        first success, inserted into the SAME per-sample set as substring
+        candidates — so a sample contributes at most 1 to the document
+        frequency and P(count) = 1-(1-p)^occurrences
         (reference: src/generate.rs:117-126)."""
+        for token in self._special_tokens():
+            start = 0
+            while True:
+                idx = sample.find(token, start)
+                if idx < 0:
+                    break
+                if self._rng.random() < self.insert_probability:
+                    tokens.add(token)
+                    break
+                start = idx + len(token)
+
+    def _substring_eligible(self, token: str) -> bool:
+        """Whether the substring-candidate scan would also enumerate the
+        token's occurrences (length <= max and full allow match)."""
+        raw = token.encode("utf-8")
+        if not raw or len(raw) > self.max_token_length:
+            return False
+        return self._dfa is None or self._dfa.fullmatch_bytes(raw)
+
+    def _feed_special_native(self, samples: Sequence[str]) -> None:
+        """Per-sample special-token counting for the native path.
+
+        The reference flips one coin per occurrence on the special-token
+        path and, independently, one per occurrence on the substring-
+        candidate path (when the token qualifies), with set-dedup across
+        both — P(count) = 1-(1-p)^(2k) for eligible tokens, 1-(1-p)^k
+        otherwise. The native counter's contribution was dropped by the
+        caller; reproduce the exact distribution here with 2k (or k)
+        independent coins and break-on-success."""
         extra: Counter = Counter()
-        for sample in samples:
-            for token in list(self.added_tokens) + list(self.suggested_tokens):
-                if token in sample:
+        for token in dict.fromkeys(self._special_tokens()):
+            flips_per_occ = 2 if self._substring_eligible(token) else 1
+            for sample in samples:
+                occ = sample.count(token)
+                if occ == 0:
+                    continue
+                for _ in range(occ * flips_per_occ):
                     if self._rng.random() < self.insert_probability:
                         extra[token] += 1
+                        break
         self.frequencies.update(extra)
 
-    def _feed_native(self, samples: Sequence[str]) -> bool:
-        """Threaded C++ DFA-filtered counting; False if unavailable."""
+    def _feed_native(self, samples: Sequence[str]) -> Optional[Counter]:
+        """Threaded C++ DFA-filtered counting; None if unavailable."""
         try:
             from ..utils import nativelib
 
             if nativelib.get_lib() is None:
-                return False
+                return None
             seed = int(self._rng.integers(0, 2**63 - 1))
             counts = nativelib.substring_count(
                 [s.encode("utf-8") for s in samples],
@@ -130,9 +175,8 @@ class VocabularyGenerator:
         except Exception:
             log.exception("native substring counting failed; "
                           "falling back to Python")
-            return False
-        self.frequencies.update(counts)
-        return True
+            return None
+        return Counter(counts)
 
     def _feed_part(self, part: str, tokens: set) -> None:
         # The reference's candidate loop measures length in BYTES
@@ -194,6 +238,12 @@ class VocabularyGenerator:
             raw = token.encode("utf-8")
             if raw not in seen and len(raw) > 1:
                 seen.add(raw)
+                if token not in self.frequencies:
+                    # reference: src/generate.rs:186 .expect(...) panic
+                    raise ValueError(
+                        "suggested/added token score should be present: "
+                        f"{token!r} never counted during feed"
+                    )
                 freq = self.frequencies[token]
                 score = float(freq * len(raw))
                 vocab.append(ScoredToken(raw, score, keep))

@@ -63,7 +63,11 @@ class VocabularyMerger:
                 score = (ta.score + tb.score) * self.scale_factor
                 token = ScoredToken(value, score, False)
                 text = value.decode("utf-8", errors="replace")
-                if len(value) > self.max_token_length or not allow_re.match(text):
+                # Unanchored substring search: the reference's
+                # Regex::is_match (src/merge.rs:105-106). CLI-generated
+                # patterns are ^...$-anchored so behave identically, but
+                # a user-supplied unanchored allow must match anywhere.
+                if len(value) > self.max_token_length or not allow_re.search(text):
                     if (a, b) not in ignore:
                         log.debug(
                             "Ignoring merge of a=%s b=%s freq=%d into=%s",
