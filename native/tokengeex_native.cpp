@@ -92,6 +92,20 @@ struct Model {
   }
 };
 
+// Deterministic per-sample RNG for EM dropout (splitmix64). The
+// reference uses thread_rng (non-reproducible); here the stream depends
+// only on (seed, sample index), not thread partitioning.
+inline uint64_t splitmix64(uint64_t& s) {
+  uint64_t z = (s += 0x9E3779B97F4A7C15ull);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+inline double rng_f64(uint64_t& s) {
+  return static_cast<double>(splitmix64(s) >> 11) * 0x1.0p-53;
+}
+
 double log_sum_exp(double x, double y, bool init_mode) {
   // reference: src/lattice.rs:321-333
   if (init_mode) return y;
@@ -168,7 +182,10 @@ struct Lattice {
   std::vector<std::vector<int32_t>> begin_nodes, end_nodes;
   int64_t n = 0;
 
-  void from(const Model& m, const uint8_t* input, int64_t len) {
+  // dropout skips len>1 candidates with probability `dropout`
+  // (reference: src/model.rs:48-51); rng may be null when dropout == 0.
+  void from(const Model& m, const uint8_t* input, int64_t len,
+            double dropout = 0.0, uint64_t* rng = nullptr) {
     n = len;
     nodes.clear();
     begin_nodes.assign(n + 1, {});
@@ -185,6 +202,8 @@ struct Lattice {
         if (cur < 0) break;
         int32_t tid = m.nodes[cur].token_id;
         if (tid < 0) continue;
+        if (i > 0 && dropout > 0.0 && rng && rng_f64(*rng) < dropout)
+          continue;
         int32_t idx = static_cast<int32_t>(nodes.size());
         begin_nodes[pos].push_back(idx);
         end_nodes[pos + i + 1].push_back(idx);
@@ -410,10 +429,13 @@ int64_t tg_encode_batch(Model* m, const uint8_t* data, const int64_t* offsets,
 
 // E-step over a batch: accumulates expected counts (vocab_size doubles)
 // and writes per-sample z sums. Samples are chopped into max_snippet
-// byte snippets (reference: src/prune.rs:75-83). Returns 0, or
-// -(sample+1) if a snippet normalizer is not finite.
+// byte snippets (reference: src/prune.rs:75-83). dropout skips len>1
+// lattice candidates with the given probability, deterministically per
+// (seed, sample). Returns 0, or -(sample+1) if a snippet normalizer is
+// not finite.
 int64_t tg_estep_batch(Model* m, const uint8_t* data, const int64_t* offsets,
                        int64_t n_samples, int64_t max_snippet,
+                       double dropout, uint64_t seed,
                        double* expected, double* z_out, int num_threads) {
   int64_t vocab_size = static_cast<int64_t>(m->scores.size());
   std::vector<std::vector<double>> partials(
@@ -425,9 +447,11 @@ int64_t tg_estep_batch(Model* m, const uint8_t* data, const int64_t* offsets,
     for (int64_t i = b; i < e; ++i) {
       double zsum = 0.0;
       int64_t len = offsets[i + 1] - offsets[i];
+      uint64_t rng = seed ^ (0xD1B54A32D192ED03ull * (uint64_t)(i + 1));
+      splitmix64(rng);  // decorrelate nearby sample streams
       for (int64_t off = 0; off < len; off += max_snippet) {
         int64_t slen = std::min(max_snippet, len - off);
-        lat.from(*m, data + offsets[i] + off, slen);
+        lat.from(*m, data + offsets[i] + off, slen, dropout, &rng);
         double z = lat.populate_marginal(part.data());
         if (!std::isfinite(z)) {
           int64_t expect = -1;

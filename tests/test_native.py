@@ -79,6 +79,39 @@ def test_estep_exact_match(setup):
     np.testing.assert_array_equal(z_t, z_n)
 
 
+def test_estep_dropout(setup):
+    vocab, samples, oracle, native = setup
+    # dropout=1.0 removes every multi-byte candidate: the lattice is the
+    # byte path only, deterministic, identical to the oracle with
+    # dropout=1.0 (reference: src/model.rs:48-51).
+    expected_n, z_n = native.estep(samples, max_snippet=64, dropout=1.0,
+                                   seed=5, num_threads=1)
+    expected_o = [0.0] * len(vocab)
+    rng = random.Random(0)
+    for s in samples:
+        for off in range(0, len(s), 64):
+            lat = Lattice(s[off : off + 64])
+            oracle.populate_nodes(lat, 1.0, rng)
+            lat.populate_marginal(expected_o)
+    np.testing.assert_allclose(expected_n, np.asarray(expected_o),
+                               rtol=1e-12, atol=0)
+    # Intermediate dropout: deterministic per (seed, sample) and
+    # independent of thread partitioning; differs from dropout=0.
+    e1, z1 = native.estep(samples, max_snippet=64, dropout=0.3, seed=7,
+                          num_threads=1)
+    e2, z2 = native.estep(samples, max_snippet=64, dropout=0.3, seed=7,
+                          num_threads=4)
+    # Same masks; counts equal up to partial-merge summation order,
+    # per-sample z bit-for-bit.
+    np.testing.assert_allclose(e1, e2, rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(z1, z2)
+    e0, _ = native.estep(samples, max_snippet=64, dropout=0.0)
+    assert not np.allclose(e1, e0)
+    assert np.isfinite(z1).all()
+    e3, _ = native.estep(samples, max_snippet=64, dropout=0.3, seed=8)
+    assert not np.array_equal(e1, e3)  # different seed, different masks
+
+
 def test_count_frequencies(setup):
     vocab, samples, oracle, native = setup
     freqs = native.count_frequencies(samples)

@@ -90,6 +90,9 @@ class VocabularyPruner:
     exact_loss: bool = False  # False replicates the reference's
     # alternatives.len()-1 normalizer quirk (src/prune.rs:279); True uses
     # the per-token alternative count.
+    seed: int = 0  # dropout RNG base; each E-step call advances the
+    # stream so EM sub-iterations sample fresh masks (the reference uses
+    # thread_rng, fresh every pass but non-reproducible).
 
     def prune(self, model: Model, samples: Sequence[bytes],
               checkpoint_cb=None) -> Model:
@@ -132,6 +135,10 @@ class VocabularyPruner:
         """Expected token counts over all segmentations
         (reference: src/prune.rs:64-120)."""
         backend = self._pick_backend(model)
+        # Fresh dropout mask per E-step call (subiters and rounds).
+        call_idx = getattr(self, "_estep_calls", 0)
+        self._estep_calls = call_idx + 1
+        seed = self.seed + call_idx
         task = Task("E-step", len(samples))
         task.start()
         try:
@@ -140,23 +147,26 @@ class VocabularyPruner:
 
                 expected = run_e_step_device(
                     model, samples, self.dropout, MAX_SAMPLE_LENGTH, task,
+                    seed=seed,
                     table_hints=getattr(self, "_table_hints", None),
                 )
             elif backend == "native":
                 native = model.native()
-                expected, z = native.estep(samples, MAX_SAMPLE_LENGTH)
+                expected, z = native.estep(samples, MAX_SAMPLE_LENGTH,
+                                           dropout=self.dropout, seed=seed)
                 task.record(sum(len(s) for s in samples), len(samples))
             else:
-                expected = self._estep_oracle(model, samples, task)
+                expected = self._estep_oracle(model, samples, task, seed)
         finally:
             task.finish()
         return np.asarray(expected, dtype=np.float64)
 
-    def _estep_oracle(self, model: Model, samples, task) -> np.ndarray:
+    def _estep_oracle(self, model: Model, samples, task,
+                      seed: int = 0) -> np.ndarray:
         from ..models.oracle import Lattice
         import random as _random
 
-        rng = _random.Random(0)
+        rng = _random.Random(seed)
         expected = [0.0] * model.vocab_size()
         for s in samples:
             for off in range(0, len(s), MAX_SAMPLE_LENGTH):

@@ -97,6 +97,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.tg_estep_batch.restype = ctypes.c_int64
         lib.tg_estep_batch.argtypes = [
             ctypes.c_void_p, c_u8p, c_i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_uint64,
             c_f64p, c_f64p, ctypes.c_int,
         ]
         lib.tg_prune_alternatives.restype = ctypes.c_int64
@@ -198,14 +199,20 @@ class NativeModel:
         ]
 
     def estep(self, samples: Sequence[bytes], max_snippet: int = 81920,
+              dropout: float = 0.0, seed: int = 0,
               num_threads: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact f64 E-step. Returns (expected[V], z_per_sample)."""
+        """Exact f64 E-step. Returns (expected[V], z_per_sample).
+
+        dropout skips len>1 lattice candidates with the given probability
+        (reference: src/model.rs:48-51), deterministically per
+        (seed, sample index) regardless of thread count."""
         data, offsets = _concat(samples)
         expected = np.zeros(self.vocab_size, dtype=np.float64)
         z = np.zeros(len(samples), dtype=np.float64)
         r = self._lib.tg_estep_batch(
             self._handle, _u8p(data), _i64p(offsets), len(samples),
-            max_snippet, _f64p(expected), _f64p(z),
+            max_snippet, float(dropout), seed & 0xFFFFFFFFFFFFFFFF,
+            _f64p(expected), _f64p(z),
             num_threads or default_threads(),
         )
         if r < 0:
