@@ -380,10 +380,13 @@ def _match_slab(
         e1 = jnp.take(tbl.t1_em, idx1, axis=0)
         e2 = jnp.take(tbl.t2_em, idx2, axis=0)
         hi = jnp.int32(-65536)  # 0xFFFF0000
-        match1 = ((e1 ^ fp2) & hi) == 0
-        match2 = ((e2 ^ fp2) & hi) == 0
         q1 = e1 & 0xFFFF
         q2 = e2 & 0xFFFF
+        # q == 0xFFFF marks an empty slot: a check-word hit there must
+        # fall THROUGH to t2, not mask a real t2 match (an empty row
+        # stores fp2 = 0, which any probe with zero high bits hits).
+        match1 = (((e1 ^ fp2) & hi) == 0) & (q1 != 0xFFFF)
+        match2 = (((e2 ^ fp2) & hi) == 0) & (q2 != 0xFFFF)
         q = jnp.where(match1, q1, jnp.where(match2, q2, 0xFFFF))
         q = jnp.where(valid, q, 0xFFFF)
         score = jnp.where(
@@ -403,8 +406,10 @@ def _match_slab(
         s1 = jnp.take(tbl.t1_score, idx1, axis=0)
         c2 = jnp.take(tbl.t2_check, idx2, axis=0)
         s2 = jnp.take(tbl.t2_score, idx2, axis=0)
-        match1 = (c1 == fp2) & valid
-        match2 = (c2 == fp2) & valid
+        # Empty slots store check = 0 with a NEG score marker; a probe
+        # with fp2 == 0 must fall through to t2, not mask its match.
+        match1 = (c1 == fp2) & (s1 > -1.0e38) & valid
+        match2 = (c2 == fp2) & (s2 > -1.0e38) & valid
         score = jnp.where(match1, s1, jnp.where(match2, s2, neg))
         score = jnp.where(score <= -1.0e38, neg, score).astype(dtype)
         slot = jnp.where(

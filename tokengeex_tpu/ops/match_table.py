@@ -8,9 +8,25 @@ two candidate slots carries both 32-bit fingerprints and the length.
 Lookup is exactly 2 row-gathers per (position, length) pair, with no
 data-dependent control flow — ideal for XLA/Pallas.
 
-False-match probability per probe is ~2^-64 (verified collision-free
-against the actual vocabulary at build time; corpus substrings not in
-the vocabulary can alias only with ~1e-13 probability per probe).
+Collision guarantees, enforced by construction in `TokenTable.build`:
+
+  - Exact/fast probe paths: distinct vocabulary tokens with identical
+    (fp1, fp2, len) triples (~2^-64 per pair) are detected and rejected
+    with an error — they would be indistinguishable to every probe.
+  - EM probe path (1 gather per table, 16-bit check): a token stored in
+    t2 whose t1 slot holds an entry with the same high-16 fp2 bits would
+    be silently "shadowed" (scored and counted as the t1 occupant).
+    At 500k vocab a handful of such clusters are EXPECTED
+    (~V/2 / 2^16); build detects them by probing every vocabulary token
+    through an exact emulation of the device probe and repairs by
+    pinning whole collision clusters into t2 (each member then resolves
+    at its own t2 slot because the t1 check always misses), re-verifying
+    until every token resolves to itself.
+
+Corpus substrings not in the vocabulary can still falsely match — with
+~1e-13 probability per probe on the fast path and ~2^-33 on the EM
+path. Those are one-off statistical noise, unlike vocabulary shadowing
+which would bias every occurrence of a token for the whole run.
 """
 
 from __future__ import annotations
@@ -43,7 +59,7 @@ class TokenTable:
     @staticmethod
     def build(vocab: Sequence[ScoredToken], max_probe_len: Optional[int] = None,
               min_bits: Optional[int] = None, min_len: Optional[int] = None,
-              _seed_salt: int = 0) -> "TokenTable":
+              ) -> "TokenTable":
         """min_bits / min_len pad the table size and probe length so that
         shrinking vocabularies (EM prune rounds) keep identical device
         shapes — one compile serves every round."""
@@ -63,14 +79,30 @@ class TokenTable:
         bits = max(8, int(np.ceil(np.log2(max(len(by_bytes), 1)))) + 1)
         if min_bits is not None:
             bits = max(bits, min_bits)
-        for attempt in range(4):
+
+        entries = _entry_arrays(by_bytes, max_len)
+        _check_fingerprint_uniqueness(by_bytes, entries)
+
+        # Build → probe-verify → pin shadowed clusters → rebuild, until
+        # every vocabulary token resolves to its own slot on both the
+        # fast and EM probe emulations (see module docstring).
+        pinned = np.zeros(0, dtype=np.int64)
+        t1 = t2 = None
+        for _ in range(8):
             try:
-                t1, t2 = _build_cuckoo_vectorized(by_bytes, bits, max_len)
-                break
+                t1, t2 = _build_cuckoo_vectorized(
+                    by_bytes, bits, max_len, entries=entries, pinned=pinned)
             except CuckooBuildError:
                 bits += 1
+                pinned = np.zeros(0, dtype=np.int64)  # slots shift with bits
+                continue
+            bad = _shadowed_entries(entries, t1, t2, bits)
+            if bad.size == 0:
+                break
+            pinned = _collision_clusters(entries, bits, bad, pinned)
         else:
-            raise CuckooBuildError("cuckoo table build failed")
+            raise CuckooBuildError(
+                "could not build a shadow-free token table")
 
         scores64 = np.array([t.score for t in vocab], dtype=np.float64)
         return TokenTable(
@@ -83,24 +115,13 @@ class TokenTable:
             vocab_size=v,
         )
 
-def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
-    """Vectorized BFS-style cuckoo construction.
 
-    All pending entries are written to their current-table slot at once;
-    losers of each slot (plus displaced occupants) move to the other
-    table next round. Terminates when nothing is pending; a pending set
-    that stops shrinking over many rounds means an insertion cycle
-    (grow the table). ~100x faster than per-entry insertion at 500k
-    vocab, which matters because tables are rebuilt every EM round.
-    """
+def _entry_arrays(by_bytes: dict, max_len: int):
+    """Vectorized (fp1, fp2, lens, ids) for a token dict."""
     n = len(by_bytes)
-    size = 1 << bits
     if n == 0:
-        t = np.zeros((size, 4), dtype=np.uint32)
-        t[:, 3] = np.uint32(0xFFFFFFFF)
-        return t, t.copy()
-
-    # Vectorized fingerprints: pad token bytes into (n, max_len).
+        z = np.zeros(0, dtype=np.uint32)
+        return z, z, z, z
     tokens = list(by_bytes.keys())
     ids = np.fromiter(by_bytes.values(), dtype=np.uint32, count=n)
     lens = np.fromiter((len(t) for t in tokens), dtype=np.uint32, count=n)
@@ -118,13 +139,98 @@ def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
     with np.errstate(over="ignore"):
         fp1 = (mat * pow1[None, :] * valid).sum(axis=1, dtype=np.uint32)
         fp2 = (mat * pow2[None, :] * valid).sum(axis=1, dtype=np.uint32)
+    return fp1, fp2, lens, ids
+
+
+def _check_fingerprint_uniqueness(by_bytes: dict, entries) -> None:
+    """Distinct tokens with identical (fp1, fp2, len) are irreparable —
+    every probe path treats the triple as the token's identity."""
+    fp1, fp2, lens, _ = entries
+    if fp1.size < 2:
+        return
+    key = (fp1.astype(np.uint64) << np.uint64(32)) | fp2.astype(np.uint64)
+    order = np.lexsort((lens, key))
+    dup = (key[order][1:] == key[order][:-1]) & \
+        (lens[order][1:] == lens[order][:-1])
+    if dup.any():
+        k = int(np.nonzero(dup)[0][0])
+        tokens = list(by_bytes.keys())
+        a, b = tokens[order[k]], tokens[order[k + 1]]
+        raise CuckooBuildError(
+            f"vocabulary fingerprint collision between {a!r} and {b!r}; "
+            "the hash family cannot distinguish these tokens")
+
+
+def _shadowed_entries(entries, t1: np.ndarray, t2: np.ndarray,
+                      bits: int) -> np.ndarray:
+    """Indices of entries that do NOT resolve to their own slot under an
+    exact emulation of the device probes (fast 32-bit check and EM
+    16-bit check; ops/lattice_jax._match_slab)."""
+    fp1, fp2, lens, _ = entries
+    if fp1.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx1 = H.host_table_index(fp1, lens, H.IDX_A1, H.IDX_M1, bits)
+    idx2 = H.host_table_index(fp2, lens, H.IDX_A2, H.IDX_M2, bits)
+    row1 = t1[idx1]  # (n, 4) uint32
+    row2 = t2[idx2]
+    occ1 = row1[:, 3] != np.uint32(0xFFFFFFFF)
+    occ2 = row2[:, 3] != np.uint32(0xFFFFFFFF)
+    self1 = occ1 & (row1[:, 0] == fp1) & (row1[:, 1] == fp2) & (row1[:, 2] == lens)
+    self2 = occ2 & (row2[:, 0] == fp1) & (row2[:, 1] == fp2) & (row2[:, 2] == lens)
+
+    # Fast probe: t1 match on full fp2 wins; fall through to t2.
+    m1_fast = occ1 & (row1[:, 1] == fp2)
+    ok_fast = np.where(m1_fast, self1, self2)
+    # EM probe: t1 match on high-16 fp2 bits wins.
+    hi = np.uint32(0xFFFF0000)
+    m1_em = occ1 & ((row1[:, 1] & hi) == (fp2 & hi))
+    ok_em = np.where(m1_em, self1, self2)
+    return np.nonzero(~(ok_fast & ok_em))[0].astype(np.int64)
+
+
+def _collision_clusters(entries, bits: int, bad: np.ndarray,
+                        pinned: np.ndarray) -> np.ndarray:
+    """Expand shadowed entries to their full (idx1, fp2-hi16) clusters
+    and merge with the already-pinned set. Pinning every member of a
+    cluster into t2 makes the t1 EM check miss for all of them."""
+    fp1, fp2, lens, _ = entries
+    idx1 = H.host_table_index(fp1, lens, H.IDX_A1, H.IDX_M1, bits)
+    key = (idx1.astype(np.uint64) << np.uint64(16)) | \
+        (fp2.astype(np.uint64) >> np.uint64(16))
+    bad_keys = np.unique(key[bad])
+    members = np.nonzero(np.isin(key, bad_keys))[0].astype(np.int64)
+    return np.union1d(pinned, members)
+
+
+def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int,
+                             entries=None, pinned=None):
+    """Vectorized BFS-style cuckoo construction.
+
+    All pending entries are written to their current-table slot at once;
+    losers of each slot (plus displaced occupants) move to the other
+    table next round. Terminates when nothing is pending; a pending set
+    that stops shrinking over many rounds means an insertion cycle
+    (grow the table). ~100x faster than per-entry insertion at 500k
+    vocab, which matters because tables are rebuilt every EM round.
+
+    `pinned` entry indices are locked into t2 at their idx2 slot (the
+    EM-probe shadow repair; see module docstring); their slots are off
+    limits to everyone else.
+    """
+    n = len(by_bytes)
+    size = 1 << bits
+    if n == 0:
+        t = np.zeros((size, 4), dtype=np.uint32)
+        t[:, 3] = np.uint32(0xFFFFFFFF)
+        return t, t.copy()
+
+    fp1, fp2, lens, ids = entries if entries is not None else \
+        _entry_arrays(by_bytes, max_len)
 
     idx1 = H.host_table_index(fp1, lens, H.IDX_A1, H.IDX_M1, bits)
     idx2 = H.host_table_index(fp2, lens, H.IDX_A2, H.IDX_M2, bits)
 
-    entries = np.stack(
-        [fp1, fp2, lens, ids], axis=1
-    ).astype(np.uint32)
+    rows = np.stack([fp1, fp2, lens, ids], axis=1).astype(np.uint32)
     slots = np.stack([idx1, idx2], axis=1)
 
     t1 = np.zeros((size, 4), dtype=np.uint32)
@@ -133,7 +239,18 @@ def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
     t2[:, 3] = np.uint32(0xFFFFFFFF)
     occupant = np.full((2, size), -1, dtype=np.int64)  # entry index per slot
 
-    pending = np.arange(n, dtype=np.int64)
+    locked2 = np.zeros(size, dtype=bool)
+    free = np.ones(n, dtype=bool)
+    if pinned is not None and len(pinned):
+        pinned = np.asarray(pinned, dtype=np.int64)
+        pin_slots = slots[pinned, 1]
+        if np.unique(pin_slots).size != pin_slots.size:
+            raise CuckooBuildError("pinned entries contend for a t2 slot")
+        occupant[1, pin_slots] = pinned
+        locked2[pin_slots] = True
+        free[pinned] = False
+
+    pending = np.nonzero(free)[0].astype(np.int64)
     side = np.zeros(n, dtype=np.int64)  # which table each pending tries next
     max_rounds = 64 + 8 * bits
     for _ in range(max_rounds):
@@ -141,6 +258,13 @@ def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
             break
         s = side[pending]
         slot = slots[pending, s]
+        # Entries aimed at a locked t2 slot bounce straight to t1.
+        blocked = (s == 1) & locked2[slot]
+        blk = pending[blocked]
+        side[blk] ^= 1
+        pending = pending[~blocked]
+        s = s[~blocked]
+        slot = slot[~blocked]
         prev = occupant[s, slot].copy()
         # numpy fancy assignment: the LAST pending entry targeting a
         # contested (side, slot) wins it.
@@ -153,16 +277,16 @@ def _build_cuckoo_vectorized(by_bytes: dict, bits: int, max_len: int):
         if evicted.size:
             # Displaced occupants retry their other table.
             side[evicted] ^= 1
-        pending = np.concatenate([losers, evicted])
+        pending = np.concatenate([losers, evicted, blk])
     else:
         raise CuckooBuildError("insertion cycle")
 
     occ1 = occupant[0]
     mask1 = occ1 >= 0
-    t1[mask1] = entries[occ1[mask1]]
+    t1[mask1] = rows[occ1[mask1]]
     occ2 = occupant[1]
     mask2 = occ2 >= 0
-    t2[mask2] = entries[occ2[mask2]]
+    t2[mask2] = rows[occ2[mask2]]
     return t1, t2
 
 
