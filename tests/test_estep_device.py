@@ -165,3 +165,37 @@ def test_device_encode_turbo_probe(setup):
         diffs += ids != ref
     # Quantized scores may flip near-ties but most outputs agree.
     assert diffs <= 2
+
+
+def test_em_probe_sensitivity_large_vocab(monkeypatch):
+    # The default f32 "em" probe quantizes scores to ~1e-3; at a
+    # realistic vocabulary scale the expected counts must stay within a
+    # small relative envelope of the exact f64 path (PARITY.md).
+    rng = random.Random(5)
+    alphabet = b"abcdefgh ():=."
+    vocab = [ScoredToken(bytes([b]), rng.uniform(-12.0, -10.0))
+             for b in alphabet]
+    seen = {t.value for t in vocab}
+    while len(vocab) < 4096:
+        n = rng.randint(2, 8)
+        w = bytes(rng.choice(alphabet) for _ in range(n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(ScoredToken(w, rng.uniform(-10.0, -2.0)))
+    model = Model(vocab)
+    samples = [
+        "".join(rng.choice("abcdefgh ():=.") for _ in range(400)).encode()
+        for _ in range(40)
+    ]
+    monkeypatch.setattr(ed, "GROUP_BYTES", 1 << 16)
+    e_exact = ed.run_e_step_device(model, samples, dropout=0.0,
+                                   max_snippet=512, dtype=jnp.float64)
+    e_em = ed.run_e_step_device(model, samples, dropout=0.0,
+                                max_snippet=512, probe="em")
+    hot = e_exact >= 1.0
+    assert hot.sum() > 100  # the comparison is meaningful
+    rel = np.abs(e_em[hot] - e_exact[hot]) / e_exact[hot]
+    assert float(np.median(rel)) < 0.02, float(np.median(rel))
+    assert float(np.quantile(rel, 0.95)) < 0.15, float(np.quantile(rel, 0.95))
+    # Total mass is preserved closely.
+    assert abs(e_em.sum() - e_exact.sum()) / e_exact.sum() < 0.01

@@ -93,3 +93,25 @@ def test_chinese_word_dfa():
     assert not dfa.fullmatch_bytes("hello".encode())
     assert not dfa.fullmatch_bytes("مرحبا".encode())
     assert not dfa.fullmatch_bytes(b"\xff\xff")
+
+
+def test_unicode_digit_word_classes():
+    # \d / \w are Unicode-aware like the Rust regex crate (\d = \p{Nd};
+    # \w approximates Alphabetic+M+Nd+Pc+Join_Control — see PARITY.md).
+    d = compile_dfa(r"\d+")
+    assert d.fullmatch_bytes(b"123")
+    assert d.fullmatch_bytes("٣٤".encode())      # Arabic-Indic digits (Nd)
+    assert d.fullmatch_bytes("𝟘".encode())       # U+1D7D8 math digit (Nd)
+    assert not d.fullmatch_bytes(b"a1")
+    assert not d.fullmatch_bytes("Ⅻ".encode())   # Roman numeral: Nl, not Nd
+    w = compile_dfa(r"\w+")
+    for ok in ["hello_1", "héllo", "中文字", "café", "ＡＢ", "Ⅻ", "a‍b"]:
+        assert w.fullmatch_bytes(ok.encode()), ok
+    for bad in ["a b", "x-y", "!?", "a\n"]:
+        assert not w.fullmatch_bytes(bad.encode()), bad
+    nw = compile_dfa(r"\W+")
+    assert nw.fullmatch_bytes(b" !?")
+    assert not nw.fullmatch_bytes("中".encode())
+    nd = compile_dfa(r"\D+")
+    assert nd.fullmatch_bytes(b"abc!")
+    assert not nd.fullmatch_bytes(b"a1")

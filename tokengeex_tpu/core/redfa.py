@@ -64,12 +64,46 @@ _WHITESPACE_CPS = [0x9, 0xA, 0xB, 0xC, 0xD, 0x20, 0x85, 0xA0, 0x1680,
                    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006,
                    0x2007, 0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F,
                    0x205F, 0x3000]
-_DIGIT_RANGES = [(0x30, 0x39)]
-_WORD_RANGES = [(0x30, 0x39), (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A)]
 _ESCAPES = {
     "n": 0x0A, "t": 0x09, "r": 0x0D, "f": 0x0C, "v": 0x0B, "0": 0x00,
     "a": 0x07,
 }
+
+# \d / \w are Unicode-aware in the Rust regex crate (\d = \p{Nd},
+# \w = [\p{Alphabetic}\p{M}\p{Nd}\p{Pc}\p{Join_Control}]). Derived
+# lazily from unicodedata categories: \w here is
+# L* + M* + Nd + Nl + Pc + ZWJ/ZWNJ, which tracks the reference's set
+# except for a handful of Other_Alphabetic symbols (e.g. circled
+# letters) — see PARITY.md. One full-codepoint scan, cached.
+_CLASS_RANGE_CACHE: Dict[str, List[Tuple[int, int]]] = {}
+
+
+def _unicode_class_ranges(kind: str) -> List[Tuple[int, int]]:
+    cached = _CLASS_RANGE_CACHE.get(kind)
+    if cached is not None:
+        return cached
+    import unicodedata
+
+    if kind == "d":
+        cats = {"Nd"}
+        extra: Set[int] = set()
+    else:  # "w"
+        cats = {"Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Mc", "Me", "Nd",
+                "Nl", "Pc"}
+        extra = {0x200C, 0x200D}  # Join_Control
+    ranges: List[Tuple[int, int]] = []
+    start = None
+    for cp in range(MAX_CP + 1):
+        hit = unicodedata.category(chr(cp)) in cats or cp in extra
+        if hit and start is None:
+            start = cp
+        elif not hit and start is not None:
+            ranges.append((start, cp - 1))
+            start = None
+    if start is not None:
+        ranges.append((start, MAX_CP))
+    _CLASS_RANGE_CACHE[kind] = ranges
+    return ranges
 
 
 def _normalize(ranges: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
@@ -202,13 +236,13 @@ class _Parser:
         if ch == "S":
             return _negate([(c, c) for c in _WHITESPACE_CPS])
         if ch == "d":
-            return list(_DIGIT_RANGES)
+            return list(_unicode_class_ranges("d"))
         if ch == "D":
-            return _negate(list(_DIGIT_RANGES))
+            return _negate(list(_unicode_class_ranges("d")))
         if ch == "w":
-            return list(_WORD_RANGES)
+            return list(_unicode_class_ranges("w"))
         if ch == "W":
-            return _negate(list(_WORD_RANGES))
+            return _negate(list(_unicode_class_ranges("w")))
         if ch in ("u", "x"):
             if self.peek() == "{":
                 j = self.s.find("}", self.i)
