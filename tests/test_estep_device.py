@@ -199,3 +199,44 @@ def test_em_probe_sensitivity_large_vocab(monkeypatch):
     assert float(np.quantile(rel, 0.95)) < 0.15, float(np.quantile(rel, 0.95))
     # Total mass is preserved closely.
     assert abs(e_em.sum() - e_exact.sum()) / e_exact.sum() < 0.01
+
+
+def test_device_encode_long_sample_chained(setup):
+    # Samples wider than the pack width chain fixed-width windows with a
+    # carried dp tail; ids must be byte-exact vs the unchunked native
+    # encode (reference: src/model.rs:59-129), including tokens that
+    # cross window boundaries.
+    model, samples = setup
+    rng = random.Random(31)
+    long1 = "".join(rng.choice("abcdef ()") for _ in range(3000)).encode()
+    long2 = "".join(rng.choice("abcdef ()") for _ in range(5131)).encode()
+    mixed = [samples[0], long1, b"", long2, samples[1]]
+    got = ed.encode_corpus_device(model, mixed, dtype=jnp.float64,
+                                  max_width=512)
+    want = model.native().encode_batch(mixed)
+    assert got == want
+    # f32 fast path still yields valid segmentations.
+    got32 = ed.encode_corpus_device(model, mixed, max_width=512)
+    for s, ids in zip(mixed, got32):
+        assert model.decode_bytes(ids) == s
+
+
+def test_device_encode_long_sample_no_path(setup):
+    model, samples = setup
+    bad = samples[0][:100] + b"zzz" + b"abcdef" * 300  # 'z' not in vocab
+    from tokengeex_tpu import NoPathError
+
+    with pytest.raises(NoPathError):
+        ed.encode_corpus_device(model, [bad], max_width=512)
+
+
+def test_device_encode_long_sample_dropout(setup):
+    model, samples = setup
+    rng = random.Random(32)
+    long1 = "".join(rng.choice("abcdef ()") for _ in range(4000)).encode()
+    got = ed.encode_corpus_device(model, [long1], dropout=0.5, seed=13,
+                                  max_width=512)
+    assert model.decode_bytes(got[0]) == long1
+    got2 = ed.encode_corpus_device(model, [long1], dropout=0.5, seed=13,
+                                   max_width=512)
+    assert got == got2

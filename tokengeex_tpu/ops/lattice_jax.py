@@ -239,6 +239,78 @@ def prepare_batch(packed: PackedBatch, L: int) -> DeviceBatch:
     )
 
 
+_CHAIN_CONSTS: dict = {}
+
+
+def _chain_consts(W: int, L: int):
+    """Origin-shifted constants: the hash stream starts at the tail
+    (virtual position -L), so exponents run over the full L+W span and
+    the inverse powers cover the left pad with REAL values instead of
+    the 1-filled pad of the ordinary layout."""
+    key = (W, L)
+    if key not in _CHAIN_CONSTS:
+        pow1 = H.powers_u32(H.R1, L + W).view(np.int32)
+        pow2 = H.powers_u32(H.R2, L + W).view(np.int32)
+        rinv1 = H.powers_u32(H.R1_INV, L + W).view(np.int32)
+        rinv2 = H.powers_u32(H.R2_INV, L + W).view(np.int32)
+        _CHAIN_CONSTS[key] = (
+            jnp.asarray(pow1), jnp.asarray(pow2),
+            jnp.asarray(rinv1), jnp.asarray(rinv2),
+        )
+    return _CHAIN_CONSTS[key]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _chained_prep(rows_u8, n_valid, has_tail, consts, L: int, W: int):
+    pow1, pow2, rinv1, rinv2 = consts
+    B = rows_u8.shape[0]
+    b32 = rows_u8.astype(jnp.int32)
+    zero = jnp.zeros((B, 1), jnp.int32)
+    p1 = jnp.concatenate([zero, jnp.cumsum(b32 * pow1[None, :], axis=1)],
+                         axis=1)
+    p2 = jnp.concatenate([zero, jnp.cumsum(b32 * pow2[None, :], axis=1)],
+                         axis=1)
+    p1 = jnp.pad(p1, ((0, 0), (0, L)))
+    p2 = jnp.pad(p2, ((0, 0), (0, L)))
+
+    pos = jnp.arange(L + W, dtype=jnp.int32)[None, :]
+    body_idx = pos - L
+    rid = jnp.arange(B, dtype=jnp.int32)[:, None]
+    in_tail = has_tail[:, None] & (pos < L) & (n_valid[:, None] > 0)
+    in_body = (body_idx >= 0) & (body_idx < n_valid[:, None])
+    sid = jnp.where(in_tail | in_body, rid, -2)
+    sid = jnp.pad(sid, ((0, 0), (0, L)), constant_values=-2)
+
+    dp_idx = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    active = n_valid[:, None] > 0
+    is_start = (dp_idx == 0) & active & ~has_tail[:, None]
+    is_end = (dp_idx == n_valid[:, None]) & active
+    end_index = jnp.where(
+        (dp_idx[:, :W] < n_valid[:, None]) & active, n_valid[:, None], 0
+    ).astype(jnp.int32)
+    return p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2
+
+
+def prepare_chained_batch(rows: np.ndarray, n_valid: np.ndarray,
+                          has_tail: np.ndarray, L: int, W: int) -> DeviceBatch:
+    """Device batch for chained long-sample windows.
+
+    rows: (B, L+W) uint8 = [previous window's last L bytes | body];
+    n_valid: body byte count per row (0 = inactive row);
+    has_tail: whether the left L bytes are real context (False for the
+    first window of a sample — its pad bytes are zeros and invalid).
+    """
+    consts = _chain_consts(W, L)
+    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2 = _chained_prep(
+        jnp.asarray(rows), jnp.asarray(n_valid.astype(np.int32)),
+        jnp.asarray(has_tail), consts, L, W,
+    )
+    return DeviceBatch(
+        p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+        end_index=end_index, rinv1=rinv1, rinv2=rinv2, width=W, pad=L,
+    )
+
+
 def _is_end_from_spans(packed: PackedBatch) -> np.ndarray:
     out = np.zeros((packed.rows, packed.width + 1), dtype=bool)
     for r, s, e, _, _ in packed.spans:
@@ -590,7 +662,16 @@ def _scan_forward(
     backend: str = "xla",
     probe: Optional[str] = None,
     cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    carry: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
+    """carry = (mask (B,), hist0 (B, L)) chains the DP across
+    fixed-width windows of one long sample: rows whose mask is set start
+    with hist0[:, j] = dp[-j] — the previous window's last L dp values,
+    passed through BIT-EXACTLY (no rebasing arithmetic) — and their
+    batch left-pad carries the previous window's last L bytes so
+    boundary-crossing tokens match (prepare_chained_batch). See
+    train/estep_device.py; reference: src/model.rs:59-129 encodes
+    unchunked."""
     B = batch.p1.shape[0]
     W = batch.width
     L = tbl.max_len
@@ -672,6 +753,9 @@ def _scan_forward(
     hist0 = jnp.full((B, L), NEG_INF, dtype=dtype)
     dp0 = jnp.where(batch.is_start[:, 0], 0.0, neg).astype(dtype)
     hist0 = hist0.at[:, 0].set(dp0)
+    if carry is not None:
+        mask, carry_hist = carry
+        hist0 = jnp.where(mask[:, None], carry_hist.astype(dtype), hist0)
 
     _, outs = jax.lax.scan(chunk_body, hist0, jnp.arange(nchunks))
 
@@ -698,15 +782,17 @@ def _scan_forward(
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None):
+            drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None,
+            carry=None):
     """dp scores + backpointers for the packed batch.
 
     Returns (dp, best_l), each (B, W), indexed by dp index p-1. Token
     ids are not materialized on device — backtrack() resolves them on
-    host from the matched byte spans.
+    host from the matched byte spans. `carry` chains windows of long
+    samples (see _scan_forward).
     """
     return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u,
-                         dropout, backend, probe, cache)
+                         dropout, backend, probe, cache, carry)
 
 
 def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,

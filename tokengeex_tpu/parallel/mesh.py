@@ -118,11 +118,13 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
 
 def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
                     kernel: str = "xla", dropout: float = 0.0,
-                    probe=None):
+                    probe=None, chained: bool = False):
     """Mesh-sharded Viterbi over packed rows: returns
-    fn(batch arrays[, drop_u]) -> (dp, best_l), all row-sharded.
-    dropout > 0 samples segmentations per chip (drop_u row-sharded like
-    the batch; reference: src/model.rs:100)."""
+    fn(batch arrays[, mask, inject, suppress0][, drop_u])
+    -> (dp, best_l), all row-sharded. dropout > 0 samples segmentations
+    per chip (drop_u row-sharded like the batch; reference:
+    src/model.rs:100). chained=True adds the long-sample carry arrays
+    (see ops.lattice_jax._scan_forward)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -134,17 +136,26 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
     L = dt.max_len
 
     def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
-                   drop_u=None):
+                   *rest):
+        rest = list(rest)
+        carry = None
+        if chained:
+            carry = (rest.pop(0), rest.pop(0))
+        drop_u = rest.pop(0) if rest else None
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
         return lj.viterbi(dt, batch, C=chunk, dtype=dtype, backend=kernel,
-                          drop_u=drop_u, dropout=dropout, probe=probe)
+                          drop_u=drop_u, dropout=dropout, probe=probe,
+                          carry=carry)
 
-    base_specs = (P(axis),) * 6 + (P(), P())
-    in_specs = base_specs + ((P(axis),) if dropout > 0.0 else ())
+    in_specs = (P(axis),) * 6 + (P(), P())
+    if chained:
+        in_specs = in_specs + (P(axis), P(axis))
+    if dropout > 0.0:
+        in_specs = in_specs + (P(axis),)
     sharded = shard_map(
         local_step,
         mesh=mesh,

@@ -16,6 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..core.types import NoPathError
 from ..models.unigram import Model
 from ..ops import lattice_jax as lj
 from ..ops.match_table import TokenTable
@@ -27,6 +28,10 @@ log = logging.getLogger(__name__)
 CHUNK = 512
 # Target bytes per device dispatch (rows_per_group * width).
 GROUP_BYTES = 1 << 23
+# Samples longer than this encode via chained fixed-width windows with a
+# carried dp tail instead of inflating the pack width (see
+# _encode_chained; reference: src/model.rs:59-129 encodes unchunked).
+MAX_ENCODE_WIDTH = 1 << 15
 
 
 def _pick_width(samples: Sequence[bytes], max_snippet: Optional[int]) -> int:
@@ -182,12 +187,18 @@ def encode_corpus_device(
     seed: int = 0,
     table_hints: Optional[Tuple[int, int]] = None,
     probe: Optional[str] = None,
+    max_width: Optional[int] = None,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
     all local devices when more than one is present. dropout > 0 samples
     segmentations by skipping multi-byte candidates with probability
     dropout (reference: src/model.rs:100).
+
+    Samples up to `max_width` (default MAX_ENCODE_WIDTH) pack into rows
+    sized to the longest sample; longer samples chain fixed-width
+    windows with a carried dp tail (byte-exact vs the unchunked
+    reference encode — the dp depends only on the last L positions).
 
     probe="em" is the 2x-throughput turbo mode: scores quantized to
     ~1e-3 logprob, so segmentations can differ from the reference on
@@ -205,8 +216,12 @@ def encode_corpus_device(
     tbl = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
-    width = _pick_width(samples, None)
-    packed = pack_samples(samples, width=width, max_snippet=None)
+    cap = max_width or MAX_ENCODE_WIDTH
+    cap = max(CHUNK, -(-cap // CHUNK) * CHUNK)
+    long_idx = [si for si, s in enumerate(samples) if len(s) > cap]
+    short = [s if len(s) <= cap else b"" for s in samples]
+    width = _pick_width(short, None)
+    packed = pack_samples(short, width=width, max_snippet=None)
 
     n_dev = len(jax.devices())
     use_mesh = n_dev > 1
@@ -263,11 +278,154 @@ def encode_corpus_device(
     for (r, s, e, si, ci), ids in per_span_all:
         assert ci == 0, "encode packing must not chop samples"
         out[si] = ids
+
+    if long_idx:
+        chained = _encode_chained(
+            model, dt, [(si, samples[si]) for si in long_idx], cap,
+            kernel=kernel, dropout=dropout, seed=seed + 0x5151,
+            probe=probe, dtype=dtype, task=task,
+        )
+        for si, ids in zip(long_idx, chained):
+            out[si] = ids
+
     # Zero-length samples produce no packed span; they encode to [].
     for si, ids in enumerate(out):
         if ids is None:
             out[si] = []
     return out  # type: ignore[return-value]
+
+
+def _encode_chained(
+    model: Model,
+    dt,
+    long_samples: List[Tuple[int, bytes]],
+    width: int,
+    kernel: str,
+    dropout: float,
+    seed: int,
+    probe: Optional[str],
+    dtype,
+    task=None,
+) -> List[Optional[List[int]]]:
+    """Encode samples longer than the pack width by chaining fixed-width
+    windows. Window k covers bytes [k*W, (k+1)*W); its device row is
+    [last L bytes of window k-1 | body] with an origin-shifted hash
+    stream (lj.prepare_chained_batch) so boundary-crossing tokens match,
+    and the scan starts from the previous window's last L dp values
+    passed through bit-exactly as the initial history. Host backtrack
+    walks windows in reverse, jumping from non-positive positions into
+    the previous window. Byte-exact vs the reference's unchunked encode
+    (src/model.rs:59-129): the dp depends only on the last L positions.
+    Windows dispatch sequentially (the dp chain is inherently serial per
+    sample) but all long samples advance in parallel rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import mesh as pmesh
+
+    L = dt.max_len
+    W = width
+    R = len(long_samples)
+    n_dev = len(jax.devices())
+    use_mesh = n_dev > 1
+    row_mult = n_dev * 128 if kernel == "pallas" else n_dev
+    Rp = -(-R // row_mult) * row_mult
+
+    nchunks = max(-(-len(s) // W) for _, s in long_samples)
+
+    if use_mesh:
+        mesh = pmesh.get_mesh()
+        vit = pmesh.sharded_viterbi(dt, mesh, width=W, chunk=CHUNK,
+                                    dtype=dtype, kernel=kernel,
+                                    dropout=dropout, probe=probe,
+                                    chained=True)
+    key = jax.random.PRNGKey(seed)
+
+    # Per sample, per window: host backpointers + end info.
+    best_l_store: List[dict] = [dict() for _ in range(R)]
+    end_info: List[Tuple[int, int, float]] = [(0, 0, 0.0)] * R  # (k, n, dp)
+
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    carry_hist = np.full((Rp, L), lj.NEG_INF, dtype=np_dtype)
+    mask = np.zeros(Rp, dtype=bool)
+
+    for k in range(nchunks):
+        rows = np.zeros((Rp, L + W), dtype=np.uint8)
+        n_valid = np.zeros(Rp, dtype=np.int32)
+        has_tail = np.zeros(Rp, dtype=bool)
+        active = []
+        for r, (si, s) in enumerate(long_samples):
+            a = k * W
+            if a >= len(s):
+                continue
+            b = min(a + W, len(s))
+            if k > 0:
+                rows[r, :L] = np.frombuffer(s[a - L : a], dtype=np.uint8)
+                has_tail[r] = True
+            rows[r, L : L + (b - a)] = np.frombuffer(s[a:b], dtype=np.uint8)
+            n_valid[r] = b - a
+            active.append((r, b - a))
+        batch = lj.prepare_chained_batch(rows, n_valid, has_tail, L, W)
+
+        drop_u = None
+        if dropout > 0.0:
+            key, sub_key = jax.random.split(key)
+            drop_u = jax.random.randint(
+                sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+            )
+        carry = (jnp.asarray(mask), jnp.asarray(carry_hist))
+        if use_mesh:
+            args = pmesh.batch_to_arrays(batch) + carry
+            if dropout > 0.0:
+                args = args + (drop_u,)
+            dp, best_l = vit(*args)
+        else:
+            dp, best_l = lj.viterbi(dt, batch, C=CHUNK, dtype=dtype,
+                                    backend=kernel, drop_u=drop_u,
+                                    dropout=dropout, probe=probe,
+                                    carry=carry)
+        best_l_host = np.asarray(best_l.astype(jnp.int8))
+        # Next carry: hist0[:, j] = dp[W - j] — the reversed dp tail,
+        # bit-exact (dp[:, p-1] holds dp index p).
+        D_rev = np.asarray(dp[:, W - L : W])[:, ::-1]
+        mask[:] = False
+        carry_hist[:] = lj.NEG_INF
+        for r, n in active:
+            best_l_store[r][k] = best_l_host[r].copy()
+            end_info[r] = (k, n, float(np.asarray(dp[r, n - 1])))
+            if (k + 1) * W < len(long_samples[r][1]):
+                carry_hist[r] = D_rev[r]
+                mask[r] = True
+        if task is not None:
+            task.record(sum(n for _, n in active), 0)
+
+    # Chained backtrack: positions <= 0 jump into the previous window.
+    token_to_id = model.oracle.token_to_ids
+    out: List[Optional[List[int]]] = []
+    for r, (si, s) in enumerate(long_samples):
+        k, n, dp_e = end_info[r]
+        if not np.isfinite(dp_e):
+            raise NoPathError(len(s), len(s))
+        ids_rev: List[int] = []
+        pos = n
+        while True:
+            bl = best_l_store[r][k]
+            base = k * W
+            while pos > 0:
+                length = int(bl[pos - 1])
+                a = base + pos
+                ids_rev.append(token_to_id[s[a - length : a]])
+                pos -= length
+            if k == 0:
+                break
+            pos += W
+            k -= 1
+        ids_rev.reverse()
+        out.append(ids_rev)
+        if task is not None:
+            task.record(0, 1)
+    return out
 
 
 def count_frequencies_device(model: Model, samples: Sequence[bytes],
