@@ -318,6 +318,36 @@ def _is_end_from_spans(packed: PackedBatch) -> np.ndarray:
     return out
 
 
+def prepare_batch_sharded(packed: PackedBatch, L: int, sharding) -> DeviceBatch:
+    """Multi-process prepare_batch: `packed` is the identical GLOBAL
+    packing on every process; bytes/flags become global row-sharded
+    arrays (each process materializes only its addressable shards) and
+    the derivation jit runs as one global program. Constants stay host
+    numpy (uncommitted -> replicated)."""
+    from ..parallel import mesh as pmesh
+
+    B, W = packed.bytes_arr.shape
+    flags = np.zeros((B, W + 1), dtype=np.uint8)
+    flags[packed.is_start] |= 1
+    flags[_is_end_from_spans(packed)] |= 2
+    gbytes = pmesh.shard_rows(packed.bytes_arr, sharding)
+    gflags = pmesh.shard_rows(flags, sharding)
+    pow1 = H.powers_u32(H.R1, W).view(np.int32)
+    pow2 = H.powers_u32(H.R2, W).view(np.int32)
+    rinv1 = np.pad(H.powers_u32(H.R1_INV, W), (L, 0),
+                   constant_values=1).view(np.int32)
+    rinv2 = np.pad(H.powers_u32(H.R2_INV, W), (L, 0),
+                   constant_values=1).view(np.int32)
+    consts = (pow1, pow2, rinv1, rinv2)
+    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2 = _device_prep(
+        gbytes, gflags, consts, L
+    )
+    return DeviceBatch(
+        p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+        end_index=end_index, rinv1=rinv1, rinv2=rinv2, width=W, pad=L,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Match slab: start-indexed (score, id) for a range of positions.
 # ---------------------------------------------------------------------------

@@ -165,6 +165,105 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
     return jax.jit(sharded)
 
 
+# ---------------------------------------------------------------------------
+# Multi-process (multi-host) helpers. Execution model: every process
+# holds the same global corpus and packs it identically; each process
+# materializes only the row shards its local devices own
+# (make_array_from_callback), so host->device transfer is 1/N per host
+# while the compiled program is identical everywhere. Reductions
+# (psum / host allgather) cross DCN exactly as on a pod.
+# ---------------------------------------------------------------------------
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def data_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def shard_rows(full: np.ndarray, sharding):
+    """Global device array from a host array every process holds in
+    full; each process materializes only its addressable shards."""
+    import jax
+
+    return jax.make_array_from_callback(
+        full.shape, sharding, lambda idx: full[idx]
+    )
+
+
+def local_rows(garr) -> tuple:
+    """(row_offset, np block) of this process's contiguous row shards of
+    a global row-sharded array."""
+    shards = sorted(garr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    lo = shards[0].index[0].start or 0
+    blocks = []
+    expect = lo
+    for s in shards:
+        start = s.index[0].start or 0
+        assert start == expect, "non-contiguous local row shards"
+        data = np.asarray(s.data)
+        expect = start + data.shape[0]
+        blocks.append(data)
+    return lo, np.concatenate(blocks, axis=0)
+
+
+def allgather_max(value: int) -> int:
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray([value], np.int64))
+    return int(np.max(arr))
+
+
+def allgather_sum(x: np.ndarray) -> np.ndarray:
+    from jax.experimental import multihost_utils
+
+    out = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+    return out.sum(axis=0)
+
+
+def allgather_flag(fail: int) -> int:
+    """Coordinated failure propagation: every process must learn about a
+    local error BEFORE anyone raises, or the survivors hang in the next
+    collective. Returns the max across processes (-1 = no failure)."""
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray([fail], np.int64))
+    return int(np.max(arr))
+
+
+def allgather_pickled(obj) -> list:
+    """Allgather arbitrary (small) host objects across processes."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    blob = pickle.dumps(obj)
+    n = len(blob)
+    nmax = allgather_max(n)
+    buf = np.zeros(nmax + 8, np.uint8)
+    buf[:8] = np.frombuffer(np.int64(n).tobytes(), np.uint8)
+    buf[8 : 8 + n] = np.frombuffer(blob, np.uint8)
+    rows = np.asarray(multihost_utils.process_allgather(buf))
+    out = []
+    for row in rows.reshape(process_count(), -1):
+        ln = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        out.append(pickle.loads(row[8 : 8 + ln].tobytes()))
+    return out
+
+
 def batch_to_arrays(batch) -> tuple:
     """DeviceBatch -> flat array tuple for the sharded fns."""
     return (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,

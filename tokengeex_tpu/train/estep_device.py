@@ -109,6 +109,7 @@ def run_e_step_device(
     packed = pack_samples(samples, width=width, max_snippet=max_snippet)
 
     n_dev = len(jax.devices())
+    n_proc = jax.process_count()
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
     if use_mesh:
@@ -116,6 +117,7 @@ def run_e_step_device(
         step = pmesh.sharded_e_step(dt, mesh, width=width, chunk=CHUNK,
                                     dtype=dtype, dropout=dropout,
                                     kernel=kernel, probe=probe)
+        sharding = pmesh.data_sharding(mesh) if n_proc > 1 else None
 
     expected = np.zeros(tbl.vocab_size, dtype=np.float64)
     key = jax.random.PRNGKey(seed)
@@ -124,14 +126,27 @@ def run_e_step_device(
         sub = _slice_packed(packed, r0, r1)
         if use_mesh or kernel == "pallas":
             sub = pmesh.pad_rows_to_multiple(sub, row_mult)
-        batch = lj.prepare_batch(sub, L)
+        if n_proc > 1:
+            # Every process holds the same global packing; each feeds
+            # its addressable row shards into the global program.
+            batch = lj.prepare_batch_sharded(sub, L, sharding)
+        else:
+            batch = lj.prepare_batch(sub, L)
         drop_u = None
         if dropout > 0.0:
             key, sub_key = jax.random.split(key)
-            drop_u = jax.random.randint(
-                sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
-                minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
-            )
+            if n_proc > 1:
+                # Host RNG (identical on every process), sharded in.
+                rng = np.random.default_rng([seed, gi])
+                du = rng.integers(-(2**31), 2**31 - 1,
+                                  (sub.rows, batch.sid.shape[1]),
+                                  dtype=np.int64).astype(np.int32)
+                drop_u = pmesh.shard_rows(du, sharding)
+            else:
+                drop_u = jax.random.randint(
+                    sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+                )
         if use_mesh:
             args = pmesh.batch_to_arrays(batch)
             if dropout > 0.0:
@@ -153,27 +168,44 @@ def run_e_step_device(
                                          drop_u=drop_u, dropout=dropout,
                                          backend=kernel, probe=probe,
                                          cache=cache)
-        exp_g = lj.fold_expected(dt, exp_g)
+        exp_g = lj.fold_expected(dt, np.asarray(jax.device_get(exp_g)))
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         # Gather z on device: pulling all of A to host would dominate on
-        # slow host links.
-        if sub.spans:
-            rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
-            ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
-            z_vals = np.asarray(A[rows_idx, ends_idx])
+        # slow host links. Multi-process: each process checks the spans
+        # its rows own, then failures are allgathered BEFORE raising so
+        # no process hangs in the next collective.
+        fail_si = -1
+        fail_z = 0.0
+        if n_proc > 1:
+            lo, A_local = pmesh.local_rows(A)
+            spans_here = [sp for sp in sub.spans
+                          if lo <= sp[0] < lo + A_local.shape[0]]
+        else:
+            spans_here = sub.spans
+        if spans_here:
+            rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
+            ends_idx = np.asarray([e for (_, _, e, _, _) in spans_here])
+            if n_proc > 1:
+                z_vals = A_local[rows_idx - lo, ends_idx]
+            else:
+                z_vals = np.asarray(A[rows_idx, ends_idx])
             bad = ~np.isfinite(z_vals)
             if bad.any():
                 k = int(np.nonzero(bad)[0][0])
-                si = sub.spans[k][3]
-                raise ValueError(
-                    f"normalization constant is not finite "
-                    f"(z={z_vals[k]}, sample={si}, "
-                    f"len={len(samples[si])})"
-                )
+                fail_si = spans_here[k][3]
+                fail_z = float(z_vals[k])
+        if n_proc > 1:
+            fail_si = pmesh.allgather_flag(fail_si)
+        if fail_si >= 0:
+            raise ValueError(
+                f"normalization constant is not finite "
+                f"(z={fail_z}, sample={fail_si}, "
+                f"len={len(samples[fail_si])})"
+            )
         expected += exp_g
         if task is not None:
-            nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
-            task.record(nbytes, len({si for (_, _, _, si, _) in sub.spans}))
+            nbytes = sum(e - s for (_, s, e, _, _) in spans_here)
+            task.record(nbytes, len({si for (_, _, _, si, _) in spans_here}))
     return expected
 
 
@@ -224,6 +256,7 @@ def encode_corpus_device(
     packed = pack_samples(short, width=width, max_snippet=None)
 
     n_dev = len(jax.devices())
+    n_proc = jax.process_count()
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
     if use_mesh:
@@ -231,21 +264,32 @@ def encode_corpus_device(
         vit = pmesh.sharded_viterbi(dt, mesh, width=width, chunk=CHUNK,
                                     dtype=dtype, kernel=kernel,
                                     dropout=dropout, probe=probe)
+        sharding = pmesh.data_sharding(mesh) if n_proc > 1 else None
     key = jax.random.PRNGKey(seed)
 
     per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
-    for r0, r1 in _row_groups(packed, width):
+    for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
         sub = _slice_packed(packed, r0, r1)
         if use_mesh or kernel == "pallas":
             sub = pmesh.pad_rows_to_multiple(sub, row_mult)
-        batch = lj.prepare_batch(sub, L)
+        if n_proc > 1:
+            batch = lj.prepare_batch_sharded(sub, L, sharding)
+        else:
+            batch = lj.prepare_batch(sub, L)
         drop_u = None
         if dropout > 0.0:
             key, sub_key = jax.random.split(key)
-            drop_u = jax.random.randint(
-                sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
-                minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
-            )
+            if n_proc > 1:
+                rng = np.random.default_rng([seed, 7, gi])
+                du = rng.integers(-(2**31), 2**31 - 1,
+                                  (sub.rows, batch.sid.shape[1]),
+                                  dtype=np.int64).astype(np.int32)
+                drop_u = pmesh.shard_rows(du, sharding)
+            else:
+                drop_u = jax.random.randint(
+                    sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+                )
         if use_mesh:
             args = pmesh.batch_to_arrays(batch)
             if dropout > 0.0:
@@ -259,20 +303,56 @@ def encode_corpus_device(
         # the full f32 dp matrix would dominate on slow host links.
         import jax.numpy as _jnp
 
-        best_l_host = np.asarray(best_l.astype(_jnp.int8))
-        if sub.spans:
-            rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
-            ends_idx = np.asarray([e - 1 for (_, _, e, _, _) in sub.spans])
-            dp_ends = np.asarray(dp[rows_idx, np.maximum(ends_idx, 0)])
+        if n_proc > 1:
+            # Each process backtracks the spans its rows own; ids are
+            # allgathered afterwards and failures coordinated first.
+            lo, bl_local = pmesh.local_rows(best_l.astype(_jnp.int8))
+            _, dp_local = pmesh.local_rows(dp)
+            spans_here = [sp for sp in sub.spans
+                          if lo <= sp[0] < lo + bl_local.shape[0]]
+            best_l_host = np.zeros((sub.rows, width), dtype=np.int8)
+            best_l_host[lo : lo + bl_local.shape[0]] = bl_local
+            if spans_here:
+                rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
+                ends_idx = np.asarray(
+                    [e - 1 for (_, _, e, _, _) in spans_here])
+                dp_ends = dp_local[rows_idx - lo, np.maximum(ends_idx, 0)]
+            else:
+                dp_ends = np.zeros(0, dtype=np.float32)
+            view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
+                               sub.end_index, spans_here)
+            spans_ids = lj.backtrack(view, dp_ends, best_l_host,
+                                     model.oracle.token_to_ids,
+                                     raise_no_path=False)
+            fail_si = -1
+            for sp, ids in zip(spans_here, spans_ids):
+                if ids is None:
+                    fail_si = sp[3]
+                    break
+            fail_si = pmesh.allgather_flag(fail_si)
+            if fail_si >= 0:
+                n = len(samples[fail_si])
+                raise NoPathError(n, n)
+            gathered = pmesh.allgather_pickled(
+                list(zip(spans_here, spans_ids)))
+            for proc_spans in gathered:
+                per_span_all.extend(proc_spans)
         else:
-            dp_ends = np.zeros(0, dtype=np.float32)
-        spans = lj.backtrack(sub, dp_ends, best_l_host,
-                             model.oracle.token_to_ids)
-        for (r, s, e, si, ci), ids in zip(sub.spans, spans):
-            per_span_all.append(((r, s, e, si, ci), ids))
+            spans_here = sub.spans
+            best_l_host = np.asarray(best_l.astype(_jnp.int8))
+            if sub.spans:
+                rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
+                ends_idx = np.asarray([e - 1 for (_, _, e, _, _) in sub.spans])
+                dp_ends = np.asarray(dp[rows_idx, np.maximum(ends_idx, 0)])
+            else:
+                dp_ends = np.zeros(0, dtype=np.float32)
+            spans = lj.backtrack(sub, dp_ends, best_l_host,
+                                 model.oracle.token_to_ids)
+            for (r, s, e, si, ci), ids in zip(sub.spans, spans):
+                per_span_all.append(((r, s, e, si, ci), ids))
         if task is not None:
-            nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
-            task.record(nbytes, len({si for (_, _, _, si, _) in sub.spans}))
+            nbytes = sum(e - s for (_, s, e, _, _) in spans_here)
+            task.record(nbytes, len({si for (_, _, _, si, _) in spans_here}))
 
     out: List[Optional[List[int]]] = [None] * len(samples)
     for (r, s, e, si, ci), ids in per_span_all:
@@ -327,6 +407,11 @@ def _encode_chained(
     W = width
     R = len(long_samples)
     n_dev = len(jax.devices())
+    # Multi-process: every process runs the chain replicated on one
+    # local device (long samples are rare; the dp chain is serial
+    # anyway) — results are identical everywhere, no gather needed.
+    if jax.process_count() > 1:
+        n_dev = 1
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
     Rp = -(-R // row_mult) * row_mult

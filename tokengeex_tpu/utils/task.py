@@ -31,6 +31,21 @@ def num_workers() -> int:
     return os.cpu_count() or 1
 
 
+def _is_lead_process() -> bool:
+    """Progress logs are aggregated on process 0 of a multi-process run
+    (every process records its own shard; only the lead prints)."""
+    import sys
+
+    if "jax" not in sys.modules:  # never force a backend init
+        return True
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class Task:
     """reference: src/task.rs:10-128."""
 
@@ -43,7 +58,10 @@ class Task:
         self._finished = threading.Event()
         self._start = time.monotonic()
         self._thread: threading.Thread | None = None
-        log.info("%s | %d samples | %d workers", desc, num_samples, num_workers())
+        self._lead = _is_lead_process()
+        if self._lead:
+            log.info("%s | %d samples | %d workers", desc, num_samples,
+                     num_workers())
 
     def start(self) -> None:
         self._start = time.monotonic()
@@ -59,13 +77,14 @@ class Task:
         self._finished.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
-        log.info(
-            "FINISHED %s | %d samples | %.2fMB/s | %.2fs",
-            self.desc,
-            self.num_samples,
-            mb_per_sec(self._bytes_done, self._start),
-            time.monotonic() - self._start,
-        )
+        if self._lead:
+            log.info(
+                "FINISHED %s | %d samples | %.2fMB/s | %.2fs",
+                self.desc,
+                self.num_samples,
+                mb_per_sec(self._bytes_done, self._start),
+                time.monotonic() - self._start,
+            )
 
     @property
     def bytes_done(self) -> int:
@@ -76,6 +95,8 @@ class Task:
         return time.monotonic() - self._start
 
     def _loop(self) -> None:
+        if not self._lead:
+            return
         while not self._finished.wait(1.0):
             with self._lock:
                 done = self._samples_done
