@@ -1,0 +1,112 @@
+"""DeviceTrainSession: probe-once slot caching across EM passes,
+frequency passes, and prune rounds."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from tokengeex_tpu import Model, ScoredToken
+from tokengeex_tpu.train import estep_device as ed
+from tokengeex_tpu.train.device_session import DeviceTrainSession
+from tokengeex_tpu.train.prune import VocabularyPruner
+
+
+def _setup():
+    rng = random.Random(77)
+    alphabet = b"abcdef ()"
+    vocab = [ScoredToken(bytes([b]), rng.uniform(-11.0, -9.0))
+             for b in alphabet]
+    seen = {t.value for t in vocab}
+    while len(vocab) < 90:
+        n = rng.randint(2, 8)
+        w = bytes(rng.choice(alphabet) for _ in range(n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(ScoredToken(w, rng.uniform(-9.0, -1.0)))
+    samples = [
+        "".join(rng.choice("abcdef ()")
+                for _ in range(rng.randint(1, 700))).encode()
+        for _ in range(24)
+    ]
+    return Model(vocab), samples
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return _setup()
+
+
+def test_session_estep_matches_native(setup):
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    e = sess.e_step(model, 0.0, 0)
+    want, _ = model.native().estep(samples, max_snippet=256)
+    np.testing.assert_allclose(e, want, rtol=3e-3, atol=1e-3)
+    assert len(sess.slot_cache) > 0  # slots actually cached
+
+
+def test_session_cached_pass_after_rescoring(setup):
+    # Second pass on a RESCORED + SHRUNK vocab reuses cached slots; the
+    # result must match a fresh run on the new model.
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    sess.e_step(model, 0.0, 0)
+    assert len(sess.slot_cache) > 0
+
+    rng = random.Random(3)
+    new_vocab = [
+        t.clone_with_score(t.score - rng.random())
+        for i, t in enumerate(model.vocab)
+        if len(t.value) == 1 or i % 5 != 0  # drop some multi-byte tokens
+    ]
+    model2 = Model(new_vocab)
+    e_cached = sess.e_step(model2, 0.0, 0)
+    want, _ = model2.native().estep(samples, max_snippet=256)
+    np.testing.assert_allclose(e_cached, want, rtol=3e-3, atol=1e-3)
+
+
+def test_session_count_frequencies(setup):
+    model, samples = setup
+    # One sample longer than max_snippet exercises the unchunked
+    # fallback inside the session's frequency pass.
+    rng = random.Random(9)
+    extra = "".join(rng.choice("abcdef ()") for _ in range(1500)).encode()
+    all_samples = list(samples) + [extra]
+    sess = DeviceTrainSession(model, all_samples, max_snippet=512)
+    sess.e_step(model, 0.0, 0)  # warm the slot cache
+    freqs = sess.count_frequencies(model)
+    want = model.native().count_frequencies(all_samples)
+    np.testing.assert_array_equal(freqs, want)
+
+
+def test_session_dropout_deterministic(setup):
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    e1 = sess.e_step(model, 0.3, 7)
+    e2 = sess.e_step(model, 0.3, 7)
+    np.testing.assert_array_equal(e1, e2)
+    e3 = sess.e_step(model, 0.3, 8)
+    assert not np.array_equal(e1, e3)
+    e0 = sess.e_step(model, 0.0, 7)
+    assert not np.allclose(e1, e0)
+
+
+def test_pruner_device_backend_uses_session(setup):
+    model, samples = setup
+    pruner = VocabularyPruner(vocab_size=40, shrink_factor=0.8,
+                              em_subiters=2, dropout=0.0,
+                              backend="device")
+    m2 = pruner.prune(model, samples)
+    assert pruner._session is not None
+    assert len(pruner._session.slot_cache) > 0
+    assert m2.vocab_size() <= 49
+    # Byte tokens survive (keep=True) and the model still encodes.
+    ids = ed.encode_corpus_device(m2, samples[:4])
+    for s, i in zip(samples[:4], ids):
+        assert m2.decode_bytes(i) == s

@@ -62,41 +62,32 @@ class DeviceBatch:
 
 @dataclasses.dataclass(frozen=True)
 class DeviceTables:
-    """Cuckoo tables as flat check/score arrays.
+    """Cuckoo tables in ROW-GATHER layout.
 
-    Gathers dominate the probe cost (~0.1-1G elements/s on TPU), so the
-    hot (f32) path fetches exactly TWO int32/f32 elements per probe per
-    table: a 32-bit check word (fp2) and the token score. Combined with
-    the slot index (derived from fp1 + length), discrimination is
-    ~49 bits — about 1e-3 expected false matches over an 11 GB corpus
-    pass, which is negligible even for encode parity.
+    Measured on v5e: a single-word gather runs at ~0.14 G elem/s, but a
+    multi-column ROW gather from an (H, k) table runs at ~0.39 G rows/s
+    for k up to at least 4 — rows are ~2.8x cheaper than words AND carry
+    2-4 words for free. Every probe therefore fetches one row per
+    table:
 
-    Token ids are NOT fetched on the hot path: Viterbi backtracking
-    resolves ids on host from the matched byte spans (the bytes uniquely
-    identify the token), and EM marginals scatter into SLOT-indexed
-    accumulators that the host folds to ids via `slot_to_id`. The
-    fp1/idlen arrays support the exact path (float64 conformance mode
-    and want_ids callers), which gathers scores by id at full precision.
+      fast:  (H, 2) rows [check = fp2, f32 score bits] — exact scores,
+             one row gather per table per (pos, len);
+      exact: (H, 4) rows [fp1, fp2, (len<<24|id), spare] — full 96-bit
+             identity + token id; scores fetched by id (f64 conformance
+             mode).
+
+    Token ids are NOT fetched on the fast path: Viterbi backtracking
+    resolves ids on host from the matched byte spans, and EM marginals
+    scatter into SLOT-indexed accumulators that the host folds to ids
+    via `slot_to_id`. The historical "em" probe (16-bit quantized
+    scores) is now an alias of "fast": the row layout made the exact
+    probe as cheap as the quantized one.
     """
 
-    # fast path (2 gathers per probe per table)
-    t1_check: jax.Array  # (H,) int32 = fp2; empty slots get score NEG
-    t1_score: jax.Array  # (H,) f32
-    t2_check: jax.Array
-    t2_score: jax.Array
-    # em path (1 gather per probe per table): (check16 << 16) | q_score16
-    # where q = round(-score * 1024) clamped to [0, 0xFFFE]; 0xFFFF marks
-    # an empty slot. ~33-bit discrimination and ~1e-3 score resolution —
-    # acceptable for EM statistics, not for encode parity.
-    t1_em: jax.Array  # (H,) int32
-    t2_em: jax.Array
-    # exact path
-    t1_fp1: jax.Array  # (H,) int32
-    t1_fp2: jax.Array
-    t1_idlen: jax.Array  # (H,) int32: (len << 24) | id; -1 empty
-    t2_fp1: jax.Array
-    t2_fp2: jax.Array
-    t2_idlen: jax.Array
+    t1_fast: jax.Array  # (H, 2) int32 rows: [fp2 check, f32 score bits]
+    t2_fast: jax.Array
+    t1_exact: jax.Array  # (H, 4) int32 rows: [fp1, fp2, len<<24|id, 0]
+    t2_exact: jax.Array
     scores: jax.Array  # (V,) float
     slot_to_id: np.ndarray  # host (2H,) int64; -1 empty
     slot_len: np.ndarray  # host (2H,) int64 token length per slot
@@ -123,32 +114,21 @@ class DeviceTables:
             )
             ids = np.where(empty, -1, tid.astype(np.int64))
             lens = np.where(empty, 0, length.astype(np.int64))
-            q = np.clip(np.round(
-                -scores64[np.where(empty, 0, tid)] * 1024.0), 0, 0xFFFE
-            ).astype(np.uint32)
-            em = (fp2 & np.uint32(0xFFFF0000)) | np.where(
-                empty, np.uint32(0xFFFF), q
-            )
-            return (
-                jnp.asarray(fp2.view(np.int32)),  # check
-                jnp.asarray(score),
-                jnp.asarray(fp1.view(np.int32)),
-                jnp.asarray(fp2.view(np.int32)),
-                jnp.asarray(idlen.view(np.int32)),
-                jnp.asarray(em.view(np.int32)),
-                ids,
-                lens,
-            )
+            fast = np.stack(
+                [fp2.view(np.int32), score.view(np.int32)], axis=1)
+            exact = np.stack(
+                [fp1.view(np.int32), fp2.view(np.int32),
+                 idlen.view(np.int32),
+                 np.zeros_like(fp1).view(np.int32)], axis=1)
+            return jnp.asarray(fast), jnp.asarray(exact), ids, lens
 
-        c1, s1, f1, g1, il1, em1, ids1, lens1 = split(tbl.t1)
-        c2, s2, f2, g2, il2, em2, ids2, lens2 = split(tbl.t2)
+        fa1, ex1, ids1, lens1 = split(tbl.t1)
+        fa2, ex2, ids2, lens2 = split(tbl.t2)
         assert tbl.vocab_size < (1 << 24), "id packing needs vocab < 16M"
         scores = scores64 if dtype == jnp.float64 else tbl.scores
         return DeviceTables(
-            t1_check=c1, t1_score=s1, t2_check=c2, t2_score=s2,
-            t1_em=em1, t2_em=em2,
-            t1_fp1=f1, t1_fp2=g1, t1_idlen=il1,
-            t2_fp1=f2, t2_fp2=g2, t2_idlen=il2,
+            t1_fast=fa1, t2_fast=fa2,
+            t1_exact=ex1, t2_exact=ex2,
             scores=jnp.asarray(scores.astype(dtype)),
             slot_to_id=np.concatenate([ids1, ids2]),
             slot_len=np.concatenate([lens1, lens2]),
@@ -475,39 +455,17 @@ def _match_slab(
     idx2 = jax.lax.shift_right_logical((fp2 ^ a2[None, :, None]) * m2, shift)
 
     neg = jnp.array(NEG_INF, dtype=dtype)
-    if mode == "em":
-        # 1 gather per probe per table: 16-bit check + 16-bit quantized
-        # score in one word. ~33-bit discrimination: statistical noise
-        # only — reserved for EM expected-count passes.
-        e1 = jnp.take(tbl.t1_em, idx1, axis=0)
-        e2 = jnp.take(tbl.t2_em, idx2, axis=0)
-        hi = jnp.int32(-65536)  # 0xFFFF0000
-        q1 = e1 & 0xFFFF
-        q2 = e2 & 0xFFFF
-        # q == 0xFFFF marks an empty slot: a check-word hit there must
-        # fall THROUGH to t2, not mask a real t2 match (an empty row
-        # stores fp2 = 0, which any probe with zero high bits hits).
-        match1 = (((e1 ^ fp2) & hi) == 0) & (q1 != 0xFFFF)
-        match2 = (((e2 ^ fp2) & hi) == 0) & (q2 != 0xFFFF)
-        q = jnp.where(match1, q1, jnp.where(match2, q2, 0xFFFF))
-        q = jnp.where(valid, q, 0xFFFF)
-        score = jnp.where(
-            q == 0xFFFF, neg, -q.astype(dtype) * jnp.array(1 / 1024, dtype)
-        )
-        slot = jnp.where(
-            match1, idx1,
-            jnp.where(match2, idx2 + (1 << tbl.bits), tbl.num_slots),
-        )
-        slot = jnp.where(q == 0xFFFF, tbl.num_slots, slot)
-        return score, slot
-
-    if mode == "fast":
-        # 2 gathers per probe per table; NEG-scored empty slots can
-        # never false-match (score itself is the miss marker).
-        c1 = jnp.take(tbl.t1_check, idx1, axis=0)
-        s1 = jnp.take(tbl.t1_score, idx1, axis=0)
-        c2 = jnp.take(tbl.t2_check, idx2, axis=0)
-        s2 = jnp.take(tbl.t2_score, idx2, axis=0)
+    if mode in ("fast", "em"):
+        # ONE row gather per table per probe point (rows are ~2.8x
+        # cheaper than single words and carry check + score together).
+        # "em" is an alias kept for callers of the historical quantized
+        # probe — the row layout made the exact probe equally cheap.
+        r1 = jnp.take(tbl.t1_fast, idx1, axis=0)  # (..., 2)
+        r2 = jnp.take(tbl.t2_fast, idx2, axis=0)
+        c1 = r1[..., 0]
+        s1 = jax.lax.bitcast_convert_type(r1[..., 1], jnp.float32)
+        c2 = r2[..., 0]
+        s2 = jax.lax.bitcast_convert_type(r2[..., 1], jnp.float32)
         # Empty slots store check = 0 with a NEG score marker; a probe
         # with fp2 == 0 must fall through to t2, not mask its match.
         match1 = (c1 == fp2) & (s1 > -1.0e38) & valid
@@ -522,22 +480,19 @@ def _match_slab(
         return score, slot
 
     lens = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :, None]
-    e1_fp1 = jnp.take(tbl.t1_fp1, idx1, axis=0)
-    e1_fp2 = jnp.take(tbl.t1_fp2, idx1, axis=0)
-    e1_il = jnp.take(tbl.t1_idlen, idx1, axis=0)
+    e1 = jnp.take(tbl.t1_exact, idx1, axis=0)  # (..., 4)
     match1 = (
-        (e1_fp1 == fp1) & (e1_fp2 == fp2)
-        & (jax.lax.shift_right_logical(e1_il, jnp.int32(24)) == lens)
+        (e1[..., 0] == fp1) & (e1[..., 1] == fp2)
+        & (jax.lax.shift_right_logical(e1[..., 2], jnp.int32(24)) == lens)
     )
-    e2_fp1 = jnp.take(tbl.t2_fp1, idx2, axis=0)
-    e2_fp2 = jnp.take(tbl.t2_fp2, idx2, axis=0)
-    e2_il = jnp.take(tbl.t2_idlen, idx2, axis=0)
+    e2 = jnp.take(tbl.t2_exact, idx2, axis=0)
     match2 = (
-        (e2_fp1 == fp1) & (e2_fp2 == fp2)
-        & (jax.lax.shift_right_logical(e2_il, jnp.int32(24)) == lens)
+        (e2[..., 0] == fp1) & (e2[..., 1] == fp2)
+        & (jax.lax.shift_right_logical(e2[..., 2], jnp.int32(24)) == lens)
     )
     ids = jnp.where(
-        match1, e1_il & 0xFFFFFF, jnp.where(match2, e2_il & 0xFFFFFF, -1)
+        match1, e1[..., 2] & 0xFFFFFF,
+        jnp.where(match2, e2[..., 2] & 0xFFFFFF, -1),
     )
     ids = jnp.where(valid, ids, -1)
     found = ids >= 0
@@ -594,6 +549,48 @@ def match_cache(
     scores = jnp.transpose(scores, (1, 2, 0, 3)).reshape(B, L, W)
     aux = jnp.transpose(aux, (1, 2, 0, 3)).reshape(B, L, W)
     return scores, aux
+
+
+def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
+                      W: int) -> jax.Array:
+    """(B, L, W) keep-mask for a start-indexed match cache — the same
+    coin stream as _match_slab's start-indexed dropout (key = token
+    start position, mixed per length), applied AFTER probing so a
+    dropout-free slot cache can be reused across passes with fresh
+    masks (reference: src/model.rs:48-51 flips per candidate)."""
+    B = drop_u.shape[0]
+    drop_base = jax.lax.dynamic_slice(drop_u, (0, pad), (B, W))[:, None, :]
+    odd = np.asarray(
+        (np.arange(1, L + 1, dtype=np.int64) * 2654435761) % (1 << 32),
+        dtype=np.uint32,
+    ).view(np.int32)
+    u = jax.lax.shift_right_logical(drop_base * odd[None, :, None],
+                                    jnp.int32(1))
+    threshold = np.int32(
+        np.uint32(min(int(dropout * (1 << 32)), (1 << 32) - 1)).view(np.int32)
+    )
+    tt = jax.lax.shift_right_logical(jnp.full_like(u, threshold),
+                                     jnp.int32(1))
+    lens_col = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :, None]
+    return ~((u < tt) & (lens_col > 1))
+
+
+def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
+                     dtype=jnp.float32) -> jax.Array:
+    """Re-gather current scores for a cached slot array (one row gather
+    per element; see DeviceTables docs for why rows)."""
+    r = jnp.take(slot_score_rows, slots, axis=0)
+    return jax.lax.bitcast_convert_type(r[..., 0], jnp.float32).astype(dtype)
+
+
+def slot_score_rows(tbl: DeviceTables) -> jax.Array:
+    """(num_slots + 1, 2) int32 rows of f32 score bits per slot, NEG
+    sentinel at the miss index."""
+    s1 = tbl.t1_fast[:, 1]
+    s2 = tbl.t2_fast[:, 1]
+    neg = jnp.asarray(np.array([NEG_INF], np.float32).view(np.int32))
+    col = jnp.concatenate([s1, s2, neg])
+    return jnp.stack([col, jnp.zeros_like(col)], axis=1)
 
 
 def _cache_end_view(score_cache: jax.Array, chunk_start, C: int, L: int,

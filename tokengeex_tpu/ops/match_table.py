@@ -55,6 +55,57 @@ class TokenTable:
     scores_f64: np.ndarray  # (V,) float64
     max_token_len: int  # L: longest token in bytes
     vocab_size: int
+    token_bytes: Optional[list] = None  # bytes per id (enables rebind)
+
+    def rebind(self, vocab: Sequence[ScoredToken]) -> "TokenTable":
+        """Bind the SAME slot layout to a new vocabulary whose token set
+        is a subset of the one this table was built from (EM rescoring
+        and prune-round removals only rescore/remove tokens). Slots
+        never move, so device probe caches keyed on slots stay valid
+        across passes and rounds; removed tokens become empty slots
+        (the probe falls through past them). Raises on tokens the
+        original table never contained."""
+        assert self.token_bytes is not None, "built without token_bytes"
+        new_of = {}
+        for i, t in enumerate(vocab):
+            if 0 < len(t.value) <= self.max_token_len:
+                new_of[t.value] = i
+        known = set()
+        lut = np.full(len(self.token_bytes) + 1, -1, dtype=np.int64)
+        for old_id, b in enumerate(self.token_bytes):
+            ni = new_of.get(b, -1)
+            if ni >= 0:
+                known.add(b)
+                lut[old_id] = ni
+        missing = set(new_of) - known
+        if missing:
+            raise ValueError(
+                f"rebind: {len(missing)} tokens not in the original "
+                f"table (e.g. {next(iter(missing))!r}); rebuild instead")
+
+        def remap(t: np.ndarray) -> np.ndarray:
+            out = t.copy()
+            ids = t[:, 3]
+            occupied = ids != np.uint32(0xFFFFFFFF)
+            old = np.where(occupied, ids, 0).astype(np.int64)
+            new = lut[old]
+            dead = occupied & (new < 0)
+            out[:, 3] = np.where(
+                occupied & (new >= 0), new.astype(np.uint32),
+                np.uint32(0xFFFFFFFF))
+            # Dead rows keep fp/len but are empty for the probe; zero
+            # the fps so they match the canonical empty pattern.
+            out[dead, :3] = 0
+            return out
+
+        scores64 = np.array([t.score for t in vocab], dtype=np.float64)
+        token_bytes = [t.value for t in vocab]
+        return TokenTable(
+            t1=remap(self.t1), t2=remap(self.t2), bits=self.bits,
+            scores=scores64.astype(np.float32), scores_f64=scores64,
+            max_token_len=self.max_token_len, vocab_size=len(vocab),
+            token_bytes=token_bytes,
+        )
 
     @staticmethod
     def build(vocab: Sequence[ScoredToken], max_probe_len: Optional[int] = None,
@@ -113,6 +164,7 @@ class TokenTable:
             scores_f64=scores64,
             max_token_len=max_len,
             vocab_size=v,
+            token_bytes=[t.value for t in vocab],
         )
 
 

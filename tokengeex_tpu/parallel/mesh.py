@@ -65,14 +65,16 @@ def distributed_initialize(**kwargs) -> None:
 
 def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
                    dropout: float = 0.0, kernel: str = "xla",
-                   probe=None):
+                   probe=None, with_cache: bool = False):
     """Build a jitted, mesh-sharded E-step over packed batch arrays.
 
-    Returns fn(p1, p2, sid, is_start, is_end, end_index, drop_u)
-    -> (A, acc) where the batch rows are sharded over the mesh's data
-    axis, A is returned sharded (rows stay local), and the expected-count
-    accumulator (slot-indexed on the fast path; see
+    Returns fn(p1, p2, sid, is_start, is_end, end_index[, score, slot]
+    [, drop_u]) -> (A, acc) where the batch rows are sharded over the
+    mesh's data axis, A is returned sharded (rows stay local), and the
+    expected-count accumulator (slot-indexed on the fast path; see
     ops.lattice_jax.fold_expected) is psum-reduced and replicated.
+    with_cache=True consumes a precomputed (score, slot) match cache
+    (dropout already applied to score) instead of probing.
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -85,15 +87,22 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     L = dt.max_len
 
     def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
-                   drop_u=None):
+                   *rest):
+        rest = list(rest)
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
-        # Probe once; forward and backward share the cache.
-        cache = lj.match_cache(dt, batch, C=chunk, dtype=dtype,
-                               drop_u=drop_u, dropout=dropout, probe=probe)
+        if with_cache:
+            cache = (rest.pop(0), rest.pop(0))
+            drop_u = None
+        else:
+            drop_u = rest.pop(0) if rest else None
+            # Probe once; forward and backward share the cache.
+            cache = lj.match_cache(dt, batch, C=chunk, dtype=dtype,
+                                   drop_u=drop_u, dropout=dropout,
+                                   probe=probe)
         A = lj.forward(dt, batch, C=chunk, dtype=dtype,
                        drop_u=drop_u, dropout=dropout, backend=kernel,
                        probe=probe, cache=cache)
@@ -106,7 +115,11 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
 
     base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(), P())
-    in_specs = base_specs + ((P(axis),) if dropout > 0.0 else ())
+    in_specs = base_specs
+    if with_cache:
+        in_specs = in_specs + (P(axis), P(axis))
+    elif dropout > 0.0:
+        in_specs = in_specs + (P(axis),)
     sharded = shard_map(
         local_step,
         mesh=mesh,
@@ -116,15 +129,49 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     return jax.jit(sharded)
 
 
+def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
+                        probe=None):
+    """fn(batch arrays) -> (score, slot), both row-sharded — the
+    dropout-free probe whose slot array a session caches across EM
+    passes and prune rounds."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = _shard_map()
+
+    from ..ops import lattice_jax as lj
+
+    axis = mesh.axis_names[0]
+    L = dt.max_len
+
+    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+        batch = lj.DeviceBatch(
+            p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+            end_index=end_index, rinv1=rinv1, rinv2=rinv2,
+            width=width, pad=L,
+        )
+        return lj.match_cache(dt, batch, C=chunk, dtype=dtype, probe=probe)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6 + (P(), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    return jax.jit(sharded)
+
+
 def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
                     kernel: str = "xla", dropout: float = 0.0,
-                    probe=None, chained: bool = False):
+                    probe=None, chained: bool = False,
+                    with_cache: bool = False):
     """Mesh-sharded Viterbi over packed rows: returns
-    fn(batch arrays[, mask, inject, suppress0][, drop_u])
+    fn(batch arrays[, mask, hist0][, score, slot][, drop_u])
     -> (dp, best_l), all row-sharded. dropout > 0 samples segmentations
     per chip (drop_u row-sharded like the batch; reference:
-    src/model.rs:100). chained=True adds the long-sample carry arrays
-    (see ops.lattice_jax._scan_forward)."""
+    src/model.rs:100). chained=True adds the long-sample carry arrays;
+    with_cache=True consumes a precomputed match cache (see
+    ops.lattice_jax._scan_forward)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -139,8 +186,11 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
                    *rest):
         rest = list(rest)
         carry = None
+        cache = None
         if chained:
             carry = (rest.pop(0), rest.pop(0))
+        if with_cache:
+            cache = (rest.pop(0), rest.pop(0))
         drop_u = rest.pop(0) if rest else None
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
@@ -149,10 +199,12 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
         )
         return lj.viterbi(dt, batch, C=chunk, dtype=dtype, backend=kernel,
                           drop_u=drop_u, dropout=dropout, probe=probe,
-                          carry=carry)
+                          carry=carry, cache=cache)
 
     in_specs = (P(axis),) * 6 + (P(), P())
     if chained:
+        in_specs = in_specs + (P(axis), P(axis))
+    if with_cache:
         in_specs = in_specs + (P(axis), P(axis))
     if dropout > 0.0:
         in_specs = in_specs + (P(axis),)

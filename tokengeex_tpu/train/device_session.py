@@ -1,0 +1,282 @@
+"""Device training session: probe the corpus once, train many passes.
+
+The vocabulary probe (row gathers against the cuckoo tables) dominates
+every corpus pass. During pruning the vocabulary only SHRINKS and gets
+rescored (reference: src/prune.rs:23-57), so with a stable-slot table
+(ops.match_table.TokenTable.rebind) the (pos, len) -> slot matching of
+the whole corpus never changes across EM sub-iterations, the Viterbi
+frequency pass, and prune rounds. This session:
+
+  - builds the token table ONCE from the initial vocabulary and rebinds
+    ids/scores per model (slots never move);
+  - probes each row group ONCE (dropout-free) and caches the slot
+    arrays in device memory under a budget (TGX_SLOT_CACHE_BYTES,
+    default 6 GiB);
+  - later passes re-gather only the current score per cached slot (one
+    row gather per probe point instead of a full two-table probe) and
+    apply fresh dropout masks per pass.
+
+The reference rebuilds its trie + lattices from scratch every pass;
+probing once per session is the single biggest device-throughput lever
+for the flagship prune loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.types import NoPathError
+from ..models.unigram import Model
+from ..ops import lattice_jax as lj
+from ..ops.match_table import TokenTable
+from ..utils.packing import pack_samples
+
+log = logging.getLogger(__name__)
+
+
+class DeviceTrainSession:
+    def __init__(self, model: Model, samples: Sequence[bytes],
+                 max_snippet: int, kernel: Optional[str] = None,
+                 dtype=None, probe: Optional[str] = None,
+                 cache_budget: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from . import estep_device as ed
+
+        self.samples = samples
+        self.max_snippet = max_snippet
+        self.dtype = dtype or jnp.float32
+        self.kernel = kernel or ed._default_backend()
+        self.probe = probe
+        self.chunk = ed.CHUNK
+        self.base_tbl = TokenTable.build(model.vocab)
+        self.L = self.base_tbl.max_token_len
+        self.width = ed._pick_width(samples, max_snippet)
+        self.packed = pack_samples(samples, width=self.width,
+                                   max_snippet=max_snippet)
+        self.n_dev = len(jax.devices())
+        self.use_mesh = self.n_dev > 1
+        self.row_mult = self.n_dev * 128 if self.kernel == "pallas" \
+            else self.n_dev
+        if cache_budget is None:
+            cache_budget = int(os.environ.get(
+                "TGX_SLOT_CACHE_BYTES", 6 << 30))
+        self.cache_budget = cache_budget
+        self.cache_used = 0
+        self.slot_cache: Dict[int, object] = {}
+        self._model: Optional[Model] = None
+        self._estep_calls = 0
+        self._fns: Dict[str, object] = {}
+        self._rebind(model)
+
+    # -- Model binding ------------------------------------------------------
+
+    def _rebind(self, model: Model) -> None:
+        if model is self._model:
+            return
+        tbl = self.base_tbl.rebind(model.vocab)
+        self.dt = lj.DeviceTables.from_table(tbl, self.dtype)
+        self.slot_rows = lj.slot_score_rows(self.dt)
+        self._model = model
+        # The mesh-sharded fns close over the table arrays; rebuild them
+        # for the new binding (single-chip eager path is unaffected).
+        self._fns.clear()
+
+    def _mesh_fns(self):
+        import jax  # noqa: F401
+
+        from ..parallel import mesh as pmesh
+
+        if "mesh" not in self._fns:
+            mesh = pmesh.get_mesh()
+            self._fns["mesh"] = mesh
+            self._fns["probe"] = pmesh.sharded_match_cache(
+                self.dt, mesh, width=self.width, chunk=self.chunk,
+                dtype=self.dtype, probe=self.probe)
+            self._fns["estep"] = pmesh.sharded_e_step(
+                self.dt, mesh, width=self.width, chunk=self.chunk,
+                dtype=self.dtype, kernel=self.kernel, with_cache=True)
+            self._fns["viterbi"] = pmesh.sharded_viterbi(
+                self.dt, mesh, width=self.width, chunk=self.chunk,
+                dtype=self.dtype, kernel=self.kernel, with_cache=True)
+        return self._fns
+
+    # -- Group machinery ----------------------------------------------------
+
+    def _groups(self):
+        from . import estep_device as ed
+        from ..parallel import mesh as pmesh
+
+        for gi, (r0, r1) in enumerate(
+                ed._row_groups(self.packed, self.width)):
+            sub = ed._slice_packed(self.packed, r0, r1)
+            if self.use_mesh or self.kernel == "pallas":
+                sub = pmesh.pad_rows_to_multiple(sub, self.row_mult)
+            yield gi, sub
+
+    def _probe_group(self, gi: int, batch):
+        """(score, slot) for a group: cached slots + fresh score gather,
+        or a full dropout-free probe (cached under budget)."""
+        import jax.numpy as jnp  # noqa: F401
+
+        import jax.numpy as jnp
+
+        if gi in self.slot_cache:
+            slots = self.slot_cache[gi]
+            score = lj.score_from_slots(self.slot_rows, slots, self.dtype)
+            return score, slots
+        if self.dtype == jnp.float64:
+            # Exact (f64) mode caches ids, which change on every rebind
+            # — probe fresh each pass (conformance mode only).
+            if self.use_mesh:
+                from ..parallel import mesh as pmesh
+
+                fns = self._mesh_fns()
+                return fns["probe"](*pmesh.batch_to_arrays(batch))
+            return lj.match_cache(self.dt, batch, C=self.chunk,
+                                  dtype=self.dtype, probe=self.probe)
+        if self.use_mesh:
+            from ..parallel import mesh as pmesh
+
+            fns = self._mesh_fns()
+            score, slots = fns["probe"](*pmesh.batch_to_arrays(batch))
+        else:
+            score, slots = lj.match_cache(self.dt, batch, C=self.chunk,
+                                          dtype=self.dtype,
+                                          probe=self.probe)
+        size = int(np.prod(slots.shape)) * 4
+        if self.cache_used + size <= self.cache_budget:
+            self.slot_cache[gi] = slots
+            self.cache_used += size
+        return score, slots
+
+    def _apply_dropout(self, score, batch, dropout: float, drop_u):
+        import jax.numpy as jnp
+
+        if dropout <= 0.0 or drop_u is None:
+            return score
+        keep = lj.dropout_keep_mask(drop_u, dropout, self.L, batch.pad,
+                                    self.width)
+        return jnp.where(keep, score, jnp.array(lj.NEG_INF, score.dtype))
+
+    # -- Passes -------------------------------------------------------------
+
+    def e_step(self, model: Model, dropout: float, seed: int,
+               task=None) -> np.ndarray:
+        """Expected token counts (reference: src/prune.rs:64-120),
+        reusing cached slots across calls."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import mesh as pmesh
+
+        self._rebind(model)
+        expected = np.zeros(self.dt.vocab_size, dtype=np.float64)
+        key = jax.random.PRNGKey(seed)
+        for gi, sub in self._groups():
+            batch = lj.prepare_batch(sub, self.L)
+            drop_u = None
+            if dropout > 0.0:
+                key, sub_key = jax.random.split(key)
+                drop_u = jax.random.randint(
+                    sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+                )
+            score, slots = self._probe_group(gi, batch)
+            score = self._apply_dropout(score, batch, dropout, drop_u)
+            if self.use_mesh:
+                fns = self._mesh_fns()
+                A, exp_g = fns["estep"](
+                    *(pmesh.batch_to_arrays(batch) + (score, slots)))
+            else:
+                A = lj.forward(self.dt, batch, C=self.chunk,
+                               dtype=self.dtype, backend=self.kernel,
+                               cache=(score, slots))
+                exp_g = lj.backward_expected(
+                    self.dt, batch, A, C=self.chunk, dtype=self.dtype,
+                    backend=self.kernel, cache=(score, slots))
+            expected += lj.fold_expected(self.dt, exp_g)
+            if sub.spans:
+                rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
+                ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
+                z_vals = np.asarray(A[rows_idx, ends_idx])
+                bad = ~np.isfinite(z_vals)
+                if bad.any():
+                    k = int(np.nonzero(bad)[0][0])
+                    si = sub.spans[k][3]
+                    raise ValueError(
+                        f"normalization constant is not finite "
+                        f"(z={z_vals[k]}, sample={si}, "
+                        f"len={len(self.samples[si])})"
+                    )
+            if task is not None:
+                nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
+                task.record(nbytes,
+                            len({si for (_, _, _, si, _) in sub.spans}))
+        return expected
+
+    def count_frequencies(self, model: Model, task=None) -> np.ndarray:
+        """Viterbi token frequencies (reference: src/prune.rs:205-246).
+
+        Samples that fit one snippet count through the cached-slot
+        Viterbi over the session packing; longer samples (chopped for
+        EM) fall back to the exact unchunked encode."""
+        import jax.numpy as jnp
+
+        from ..parallel import mesh as pmesh
+        from . import estep_device as ed
+
+        self._rebind(model)
+        V = model.vocab_size()
+        freqs = np.zeros(V, dtype=np.int64)
+        token_to_id = model.oracle.token_to_ids
+        long_idx = [si for si, s in enumerate(self.samples)
+                    if len(s) > self.max_snippet]
+        long_set = set(long_idx)
+
+        for gi, sub in self._groups():
+            batch = lj.prepare_batch(sub, self.L)
+            score, slots = self._probe_group(gi, batch)
+            if self.use_mesh:
+                fns = self._mesh_fns()
+                dp, best_l = fns["viterbi"](
+                    *(pmesh.batch_to_arrays(batch) + (score, slots)))
+            else:
+                dp, best_l = lj.viterbi(self.dt, batch, C=self.chunk,
+                                        dtype=self.dtype,
+                                        backend=self.kernel,
+                                        cache=(score, slots))
+            spans_whole = [sp for sp in sub.spans if sp[3] not in long_set]
+            best_l_host = np.asarray(best_l.astype(jnp.int8))
+            if spans_whole:
+                rows_idx = np.asarray([r for (r, _, _, _, _) in spans_whole])
+                ends_idx = np.asarray(
+                    [e - 1 for (_, _, e, _, _) in spans_whole])
+                dp_ends = np.asarray(dp[rows_idx, np.maximum(ends_idx, 0)])
+            else:
+                dp_ends = np.zeros(0, dtype=np.float32)
+            from ..utils.packing import PackedBatch
+
+            view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
+                               sub.end_index, spans_whole)
+            for ids in lj.backtrack(view, dp_ends, best_l_host,
+                                    token_to_id):
+                if ids:
+                    np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+            if task is not None:
+                nbytes = sum(e - s for (_, s, e, _, _) in spans_whole)
+                task.record(nbytes,
+                            len({si for (_, _, _, si, _) in spans_whole}))
+
+        if long_idx:
+            encoded = ed.encode_corpus_device(
+                model, [self.samples[si] for si in long_idx], task=task)
+            for ids in encoded:
+                if ids:
+                    np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+        return freqs

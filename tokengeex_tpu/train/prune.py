@@ -106,6 +106,22 @@ class VocabularyPruner:
             max(8, int(_math.ceil(_math.log2(max(model.vocab_size(), 1)))) + 1),
             max((len(t.value) for t in model.vocab), default=1),
         )
+        # Device sessions probe the corpus once and reuse the slot cache
+        # across EM sub-iterations, the frequency pass, and rounds
+        # (vocabulary only shrinks while pruning).
+        self._session = None
+        if self._pick_backend(model) == "device":
+            try:
+                import jax
+
+                if jax.process_count() == 1:
+                    from .device_session import DeviceTrainSession
+
+                    self._session = DeviceTrainSession(
+                        model, samples, MAX_SAMPLE_LENGTH)
+            except Exception:
+                log.exception("device session unavailable; "
+                              "falling back to per-pass probing")
         while model.vocab_size() > self.vocab_size:
             for subiter in range(self.em_subiters):
                 log.info("EM subiter %d/%d", subiter + 1, self.em_subiters)
@@ -142,7 +158,11 @@ class VocabularyPruner:
         task = Task("E-step", len(samples))
         task.start()
         try:
-            if backend == "device":
+            if backend == "device" and getattr(self, "_session", None) \
+                    is not None:
+                expected = self._session.e_step(model, self.dropout, seed,
+                                                task)
+            elif backend == "device":
                 from .estep_device import run_e_step_device
 
                 expected = run_e_step_device(
@@ -320,6 +340,9 @@ class VocabularyPruner:
 
     def _count_frequencies(self, model: Model, samples, task) -> np.ndarray:
         backend = self._pick_backend(model)
+        if backend == "device" and getattr(self, "_session", None) \
+                is not None:
+            return self._session.count_frequencies(model, task)
         if backend == "device":
             from .estep_device import count_frequencies_device
 
