@@ -115,3 +115,76 @@ def test_unicode_digit_word_classes():
     nd = compile_dfa(r"\D+")
     assert nd.fullmatch_bytes(b"abc!")
     assert not nd.fullmatch_bytes(b"a1")
+
+
+def test_search_dfa_is_match_semantics():
+    # compile_is_match_dfa reproduces Rust Regex::is_match.
+    from tokengeex_tpu.core.redfa import (RegexSyntaxError,
+                                          compile_is_match_dfa)
+
+    # Unanchored: substring search anywhere, including across newlines.
+    d = compile_is_match_dfa(r"[a-z]+")
+    assert d.fullmatch_bytes(b"123 abc 456")
+    assert d.fullmatch_bytes(b"\n\nx\n\n")
+    assert not d.fullmatch_bytes(b"123 456")
+    # Fully anchored alternation (what build_allow_regex emits).
+    d2 = compile_is_match_dfa(r"^(?:[a-z]+)$|^(?: [0-9]+)$")
+    assert d2.fullmatch_bytes(b"abc")
+    assert d2.fullmatch_bytes(b" 42")
+    assert not d2.fullmatch_bytes(b"x abc")  # anchored: no substring hit
+    # Mixed anchoring is refused (host regex fallback handles it).
+    with pytest.raises(RegexSyntaxError):
+        compile_is_match_dfa(r"^[a-z]+|[0-9]$x")
+    # [^...] class negation is not an anchor.
+    d3 = compile_is_match_dfa(r"[^a-z]+")
+    assert d3.fullmatch_bytes(b"abc123")
+    assert not d3.fullmatch_bytes(b"abc")
+
+
+def test_device_dfa_matches_host(monkeypatch):
+    # The device DFA kernel (generate-stage allow checks) must agree
+    # with the host table walk on every (pos, len) pair.
+    import jax.numpy as jnp
+
+    from tokengeex_tpu.ops import dfa_device as dd
+
+    dfa = compile_dfa(r"^ ?[a-z]+$|^[0-9]{2,3}$")
+    samples = [b"abc 12 foo9", b" x 123", b"", "héllo wörld".encode()]
+    L = 5
+    W = max(len(s) for s in samples)
+    arr = np.zeros((len(samples), W), dtype=np.uint8)
+    lens = np.zeros(len(samples), dtype=np.int32)
+    for i, s in enumerate(samples):
+        arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lens[i] = len(s)
+    ddfa = dd.DeviceDFA.from_byte_dfa(dfa)
+    got = np.asarray(dd.match_lengths_device(ddfa, jnp.asarray(arr), L))
+    for i, s in enumerate(samples):
+        if len(s) == 0:
+            continue
+        want = dfa.match_lengths(np.frombuffer(s, dtype=np.uint8), L)
+        # host layout (pos, len); device (len, pos) over padded width
+        for l in range(1, L + 1):
+            for p in range(len(s)):
+                w = bool(want[p, l - 1]) if l - 1 < want.shape[1] and \
+                    p + l <= len(s) else False
+                assert bool(got[i, l - 1, p]) == w, (i, p, l)
+
+
+def test_device_feed_candidates_match_python():
+    # p=1.0 makes the device generate-feed candidate sets deterministic;
+    # they must equal the pure-Python path's per-sample sets.
+    from tokengeex_tpu.ops.dfa_device import feed_candidates_device
+    from tokengeex_tpu.train.generate import VocabularyGenerator
+
+    texts = ["abc de 12", " xyz", "héllo wörld", "mixed 中文 ascii"]
+    for allow in (r"^ ?[a-z]+$", None):
+        g = VocabularyGenerator(max_token_length=6, insert_probability=1.0,
+                                allow=allow, seed=0)
+        sets = feed_candidates_device(
+            g._dfa, [t.encode() for t in texts], 6, 1.0, seed=0)
+        for text, got in zip(texts, sets):
+            want: set = set()
+            g._feed_part(text, want)
+            got_str = {c.decode("utf-8") for c in got}
+            assert got_str == want, (allow, text)

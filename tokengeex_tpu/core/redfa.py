@@ -478,7 +478,105 @@ class ByteDFA:
 
 def compile_dfa(pattern: str) -> ByteDFA:
     """Compile a (reference-syntax) regex into a whole-string byte DFA."""
+    return _compile_ast(_Parser(pattern).parse())
+
+
+def compile_search_dfa(pattern: str) -> ByteDFA:
+    """Whole-string DFA with SEARCH semantics — fullmatch_bytes(s) is
+    True iff the pattern matches anywhere in s (the Rust Regex::is_match
+    used by merge, reference: src/merge.rs:105-106). Wraps the pattern
+    in any-char closures (including newlines, unlike `.`)."""
     ast = _Parser(pattern).parse()
+    wrapped = _Concat([
+        _Repeat(_CharClass([(0, MAX_CP)]), 0, None),
+        ast,
+        _Repeat(_CharClass([(0, MAX_CP)]), 0, None),
+    ])
+    return _compile_ast(wrapped)
+
+
+def compile_is_match_dfa(pattern: str) -> ByteDFA:
+    """DFA whose fullmatch_bytes reproduces Rust Regex::is_match for the
+    two anchor shapes that occur in practice:
+
+      - no anchors at all -> unanchored search (closure-wrapped);
+      - every top-level alternative fully ^...$-anchored (what
+        build_allow_regex emits) -> plain whole-string match.
+
+    Mixed/internal anchors raise RegexSyntaxError; callers fall back to
+    a host regex engine."""
+    depth = 0
+    cls = False
+    esc = False
+    tops: List[str] = []
+    cur: List[str] = []
+    for ch in pattern:
+        if esc:
+            esc = False
+            cur.append(ch)
+            continue
+        if ch == "\\":
+            esc = True
+            cur.append(ch)
+            continue
+        if cls:
+            if ch == "]":
+                cls = False
+            cur.append(ch)
+            continue
+        if ch == "[":
+            cls = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            tops.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    tops.append("".join(cur))
+
+    def anchors(a: str):
+        body = a
+        lead = body.startswith("^")
+        if lead:
+            body = body[1:]
+        trail = body.endswith("$") and not body.endswith("\\$")
+        if trail:
+            body = body[:-1]
+        # any remaining bare anchors are "internal"
+        inner = False
+        e = False
+        inc = False
+        for ch in body:
+            if e:
+                e = False
+                continue
+            if ch == "\\":
+                e = True
+                continue
+            if inc:
+                if ch == "]":
+                    inc = False
+                continue
+            if ch == "[":
+                inc = True
+                continue
+            if ch in "^$":
+                inner = True
+        return lead, trail, inner
+
+    infos = [anchors(a) for a in tops]
+    if all(le and tr and not inn for le, tr, inn in infos):
+        return compile_dfa(pattern)
+    if all(not le and not tr and not inn for le, tr, inn in infos):
+        return compile_search_dfa(pattern)
+    raise RegexSyntaxError(
+        "partially anchored pattern needs a host regex engine")
+
+
+def _compile_ast(ast: _Node) -> ByteDFA:
     nfa = _NFA()
     start = nfa.new_state()
     end = nfa.new_state()

@@ -1,0 +1,153 @@
+"""Device byte-DFA: the generate stage's allow-regex on TPU.
+
+The reference tests every substring of every sample against the allow
+regex with a host regex engine (reference: src/generate.rs:80-111). The
+byte-DFA table (core/redfa.py) turns that into L table-gather steps per
+position over the whole padded batch — the designated device kernel for
+the generate feed (SURVEY.md section 7.6), reusable for merge allow
+batch checks.
+
+The device computes the full (sample, pos, len) candidate mask —
+allow-match AND insert-probability coin AND char boundaries — so the
+host only extracts and set-dedups the sparse passing substrings
+(p = 0.01-0.1 in the reference recipes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..core.redfa import ByteDFA
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceDFA:
+    next_flat: object  # (num_states * 256,) int32 device array
+    accept: object  # (num_states,) bool device array
+    start: int
+    num_states: int
+
+    @staticmethod
+    def from_byte_dfa(dfa: ByteDFA) -> "DeviceDFA":
+        import jax.numpy as jnp
+
+        return DeviceDFA(
+            next_flat=jnp.asarray(
+                np.ascontiguousarray(dfa.next, dtype=np.int32).reshape(-1)),
+            accept=jnp.asarray(dfa.accept),
+            start=dfa.start,
+            num_states=dfa.next.shape[0],
+        )
+
+
+def match_lengths_device(ddfa: DeviceDFA, bytes_arr, max_len: int):
+    """allowed[b, l-1, p]: whether bytes_arr[b, p:p+l] full-matches.
+
+    bytes_arr: (B, W) uint8 device array (0-padded). Walks all start
+    positions in lockstep: L sequential steps of one table gather per
+    position (the padding byte 0 walks into whatever state byte 0
+    leads to; callers mask out-of-range (p, l) pairs themselves)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, W = bytes_arr.shape
+    b32 = bytes_arr.astype(jnp.int32)
+    states = jnp.full((B, W), ddfa.start, dtype=jnp.int32)
+    outs = []
+    for l in range(1, max_len + 1):
+        if l <= W:
+            stepped = jnp.pad(b32[:, l - 1 :], ((0, 0), (0, l - 1)))
+            states = jnp.take(ddfa.next_flat,
+                              states * 256 + stepped, axis=0)
+            ok = jnp.take(ddfa.accept, states, axis=0)
+            # positions where p + l > W never match
+            valid = jnp.arange(W, dtype=jnp.int32)[None, :] + l <= W
+            outs.append(ok & valid)
+        else:
+            outs.append(jnp.zeros((B, W), dtype=bool))
+    return jnp.stack(outs, axis=1)  # (B, L, W)
+
+
+def candidate_mask_device(
+    ddfa: DeviceDFA,
+    bytes_arr,
+    valid_len,  # (B,) int32 actual sample lengths
+    max_len: int,
+    insert_probability: float,
+    seed: int,
+):
+    """Full generate-feed candidate mask on device: allow-match, both
+    ends on char boundaries, inside the sample, and an independent
+    insert-probability coin per (sample, pos, len)
+    (reference: src/generate.rs:69-115)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, W = bytes_arr.shape
+    if ddfa is None:  # no allow regex: every substring qualifies
+        allowed = jnp.ones((B, max_len, W), dtype=bool)
+    else:
+        allowed = match_lengths_device(ddfa, bytes_arr, max_len)
+
+    b32 = bytes_arr.astype(jnp.int32)
+    is_char_start = (b32 & 0xC0) != 0x80  # (B, W)
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    inside_start = (pos < valid_len[:, None]) & is_char_start
+    ends = []
+    for l in range(1, max_len + 1):
+        end = pos + l
+        if l <= W:
+            nxt_start = jnp.pad(is_char_start[:, l:], ((0, 0), (0, l)))
+        else:
+            nxt_start = jnp.zeros((B, W), dtype=bool)
+        ok = (end < valid_len[:, None]) & nxt_start
+        ok = ok | (end == valid_len[:, None])
+        ends.append(ok)
+    end_ok = jnp.stack(ends, axis=1)  # (B, L, W)
+
+    if insert_probability >= 1.0:
+        coin = jnp.ones((B, max_len, W), dtype=bool)
+    else:
+        key = jax.random.PRNGKey(seed)
+        u = jax.random.uniform(key, (B, max_len, W))
+        coin = u < insert_probability
+
+    return allowed & coin & inside_start[:, None, :] & end_ok
+
+
+def feed_candidates_device(
+    dfa: ByteDFA,
+    samples: Sequence[bytes],
+    max_len: int,
+    insert_probability: float,
+    seed: int,
+    group_bytes: int = 1 << 23,
+) -> List[set]:
+    """Per-sample sets of passing candidate substrings (the generate
+    feed's document-frequency units). Device computes the dense mask;
+    host extracts the sparse survivors."""
+    import jax.numpy as jnp
+
+    ddfa = DeviceDFA.from_byte_dfa(dfa) if dfa is not None else None
+    W = max((len(s) for s in samples), default=1)
+    out: List[set] = [set() for _ in samples]
+    rows_per_group = max(1, group_bytes // max(W, 1))
+    for g0 in range(0, len(samples), rows_per_group):
+        chunk = samples[g0 : g0 + rows_per_group]
+        B = len(chunk)
+        arr = np.zeros((B, W), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        for i, s in enumerate(chunk):
+            arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            lens[i] = len(s)
+        mask = candidate_mask_device(
+            ddfa, jnp.asarray(arr), jnp.asarray(lens), max_len,
+            insert_probability, seed + g0,
+        )
+        bs, ls, ps = np.nonzero(np.asarray(mask))
+        for b, l, p in zip(bs, ls, ps):
+            out[g0 + b].add(chunk[b][p : p + l + 1])
+    return out

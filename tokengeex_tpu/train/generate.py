@@ -79,6 +79,21 @@ class VocabularyGenerator:
         task.start()
         try:
             nbytes = sum(len(s.encode("utf-8", "ignore")) for s in samples)
+            counts = None
+            cand_sets = self._feed_device(samples) \
+                if self._split_re is None else None
+            if cand_sets is not None:
+                # Device DFA path: per-sample candidate byte sets; the
+                # special-token coins join the same sets (exact
+                # reference semantics, src/generate.rs:54-139).
+                freqs: Counter = Counter()
+                for sample, cset in zip(samples, cand_sets):
+                    tokens = {c.decode("utf-8") for c in cset}
+                    self._feed_special_sample(sample, tokens)
+                    freqs.update(tokens)
+                self.frequencies.update(freqs)
+                task.record(nbytes, len(samples))
+                return
             counts = self._feed_native(samples) if self._split_re is None \
                 else None
             if counts is not None:
@@ -156,6 +171,29 @@ class VocabularyGenerator:
                         extra[token] += 1
                         break
         self.frequencies.update(extra)
+
+    def _feed_device(self, samples: Sequence[str]):
+        """TPU DFA-kernel candidate enumeration (ops/dfa_device.py);
+        None when no accelerator is present (the C++ path wins on
+        CPU-only hosts)."""
+        try:
+            import jax
+
+            if all(d.platform == "cpu" for d in jax.devices()):
+                return None
+        except Exception:
+            return None
+        try:
+            from ..ops.dfa_device import feed_candidates_device
+
+            seed = int(self._rng.integers(0, 2**31 - 1))
+            return feed_candidates_device(
+                self._dfa, [s.encode("utf-8") for s in samples],
+                self.max_token_length, self.insert_probability, seed,
+            )
+        except Exception:
+            log.exception("device DFA feed failed; falling back")
+            return None
 
     def _feed_native(self, samples: Sequence[str]) -> Optional[Counter]:
         """Threaded C++ DFA-filtered counting; None if unavailable."""

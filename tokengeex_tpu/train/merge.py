@@ -39,7 +39,18 @@ class VocabularyMerger:
 
     def merge(self, model: Model, samples: Sequence[bytes]) -> Model:
         """reference: src/merge.rs:33-136."""
-        allow_re = re.compile(rust_to_python(self.allow))
+        # Allow checks go through the same byte-DFA as the generate
+        # stage (search semantics = Regex::is_match); patterns outside
+        # the DFA subset fall back to a host regex search.
+        try:
+            from ..core.redfa import compile_is_match_dfa
+
+            dfa = compile_is_match_dfa(self.allow)
+            allow_ok = lambda text: dfa.fullmatch_bytes(  # noqa: E731
+                text.encode("utf-8"))
+        except Exception:
+            allow_re = re.compile(rust_to_python(self.allow))
+            allow_ok = lambda text: bool(allow_re.search(text))  # noqa: E731
         ignore: Set[Tuple[int, int]] = set()
         start_vocab_size = model.vocab_size()
 
@@ -67,7 +78,7 @@ class VocabularyMerger:
                 # Regex::is_match (src/merge.rs:105-106). CLI-generated
                 # patterns are ^...$-anchored so behave identically, but
                 # a user-supplied unanchored allow must match anywhere.
-                if len(value) > self.max_token_length or not allow_re.search(text):
+                if len(value) > self.max_token_length or not allow_ok(text):
                     if (a, b) not in ignore:
                         log.debug(
                             "Ignoring merge of a=%s b=%s freq=%d into=%s",
