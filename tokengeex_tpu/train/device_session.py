@@ -176,8 +176,9 @@ class DeviceTrainSession:
         from ..parallel import mesh as pmesh
 
         self._rebind(model)
-        expected = np.zeros(self.dt.vocab_size, dtype=np.float64)
         key = jax.random.PRNGKey(seed)
+        acc = None
+        z_checks = []  # (device z array, spans) — materialized at the end
         for gi, sub in self._groups():
             batch = lj.prepare_batch(sub, self.L)
             drop_u = None
@@ -200,24 +201,30 @@ class DeviceTrainSession:
                 exp_g = lj.backward_expected(
                     self.dt, batch, A, C=self.chunk, dtype=self.dtype,
                     backend=self.kernel, cache=(score, slots))
-            expected += lj.fold_expected(self.dt, exp_g)
+            # Keep everything on device; one sync at the end lets the
+            # device stream groups while the host preps the next one.
+            acc = exp_g if acc is None else acc + exp_g
             if sub.spans:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
                 ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
-                z_vals = np.asarray(A[rows_idx, ends_idx])
-                bad = ~np.isfinite(z_vals)
-                if bad.any():
-                    k = int(np.nonzero(bad)[0][0])
-                    si = sub.spans[k][3]
-                    raise ValueError(
-                        f"normalization constant is not finite "
-                        f"(z={z_vals[k]}, sample={si}, "
-                        f"len={len(self.samples[si])})"
-                    )
+                z_checks.append((A[rows_idx, ends_idx], sub.spans))
             if task is not None:
                 nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
                 task.record(nbytes,
                             len({si for (_, _, _, si, _) in sub.spans}))
+        expected = lj.fold_expected(self.dt, acc) if acc is not None \
+            else np.zeros(self.dt.vocab_size, dtype=np.float64)
+        for z_dev, spans in z_checks:
+            z_vals = np.asarray(z_dev)
+            bad = ~np.isfinite(z_vals)
+            if bad.any():
+                k = int(np.nonzero(bad)[0][0])
+                si = spans[k][3]
+                raise ValueError(
+                    f"normalization constant is not finite "
+                    f"(z={z_vals[k]}, sample={si}, "
+                    f"len={len(self.samples[si])})"
+                )
         return expected
 
     def count_frequencies(self, model: Model, task=None) -> np.ndarray:

@@ -121,6 +121,8 @@ def run_e_step_device(
 
     expected = np.zeros(tbl.vocab_size, dtype=np.float64)
     key = jax.random.PRNGKey(seed)
+    acc = None
+    z_checks = []  # deferred (z device array or host block, spans)
 
     for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
         sub = _slice_packed(packed, r0, r1)
@@ -168,44 +170,51 @@ def run_e_step_device(
                                          drop_u=drop_u, dropout=dropout,
                                          backend=kernel, probe=probe,
                                          cache=cache)
-        exp_g = lj.fold_expected(dt, np.asarray(jax.device_get(exp_g)))
-        # Per-snippet normalizer check (reference: src/prune.rs:90-96).
-        # Gather z on device: pulling all of A to host would dominate on
-        # slow host links. Multi-process: each process checks the spans
-        # its rows own, then failures are allgathered BEFORE raising so
-        # no process hangs in the next collective.
-        fail_si = -1
-        fail_z = 0.0
+        # Keep counts and z-checks on device; one sync after the loop
+        # lets the device stream groups while the host preps the next.
+        acc = exp_g if acc is None else acc + exp_g
         if n_proc > 1:
             lo, A_local = pmesh.local_rows(A)
             spans_here = [sp for sp in sub.spans
                           if lo <= sp[0] < lo + A_local.shape[0]]
+            if spans_here:
+                rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
+                ends_idx = np.asarray([e for (_, _, e, _, _) in spans_here])
+                z_checks.append((A_local[rows_idx - lo, ends_idx],
+                                 spans_here))
         else:
             spans_here = sub.spans
-        if spans_here:
-            rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
-            ends_idx = np.asarray([e for (_, _, e, _, _) in spans_here])
-            if n_proc > 1:
-                z_vals = A_local[rows_idx - lo, ends_idx]
-            else:
-                z_vals = np.asarray(A[rows_idx, ends_idx])
-            bad = ~np.isfinite(z_vals)
-            if bad.any():
-                k = int(np.nonzero(bad)[0][0])
-                fail_si = spans_here[k][3]
-                fail_z = float(z_vals[k])
-        if n_proc > 1:
-            fail_si = pmesh.allgather_flag(fail_si)
-        if fail_si >= 0:
-            raise ValueError(
-                f"normalization constant is not finite "
-                f"(z={fail_z}, sample={fail_si}, "
-                f"len={len(samples[fail_si])})"
-            )
-        expected += exp_g
+            if spans_here:
+                rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
+                ends_idx = np.asarray([e for (_, _, e, _, _) in spans_here])
+                z_checks.append((A[rows_idx, ends_idx], spans_here))
         if task is not None:
             nbytes = sum(e - s for (_, s, e, _, _) in spans_here)
             task.record(nbytes, len({si for (_, _, _, si, _) in spans_here}))
+
+    if acc is not None:
+        expected += lj.fold_expected(dt, np.asarray(jax.device_get(acc)))
+    # Per-snippet normalizer check (reference: src/prune.rs:90-96),
+    # deferred to a single sync. Multi-process: failures allgathered
+    # BEFORE raising so no process hangs in a collective.
+    fail_si = -1
+    fail_z = 0.0
+    for z_dev, spans_here in z_checks:
+        z_vals = np.asarray(z_dev)
+        bad = ~np.isfinite(z_vals)
+        if bad.any():
+            k = int(np.nonzero(bad)[0][0])
+            fail_si = spans_here[k][3]
+            fail_z = float(z_vals[k])
+            break
+    if n_proc > 1:
+        fail_si = pmesh.allgather_flag(fail_si)
+    if fail_si >= 0:
+        raise ValueError(
+            f"normalization constant is not finite "
+            f"(z={fail_z}, sample={fail_si}, "
+            f"len={len(samples[fail_si])})"
+        )
     return expected
 
 
