@@ -576,11 +576,28 @@ def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
 
 
 def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
-                     dtype=jnp.float32) -> jax.Array:
-    """Re-gather current scores for a cached slot array (one row gather
-    per element; see DeviceTables docs for why rows)."""
-    r = jnp.take(slot_score_rows, slots, axis=0)
-    return jax.lax.bitcast_convert_type(r[..., 0], jnp.float32).astype(dtype)
+                     dtype=jnp.float32, C: int = 512) -> jax.Array:
+    """Re-gather current scores for a cached (B, L, W) slot array (one
+    row gather per element; see DeviceTables docs for why rows).
+
+    Chunked over W: a full-width (..., 2) gather output picks up a
+    (8, 128)-tiled layout that pads the minor dim 2 -> 128 (64x memory)
+    when XLA fails to fuse it into its consumers; inside a scan body
+    the gather+slice+bitcast fuse per chunk."""
+    B, L, W = slots.shape
+    if W % C != 0 or W <= C:
+        r = jnp.take(slot_score_rows, slots, axis=0)
+        return jax.lax.bitcast_convert_type(
+            r[..., 0], jnp.float32).astype(dtype)
+
+    def body(_, i):
+        sl = jax.lax.dynamic_slice(slots, (0, 0, i * C), (B, L, C))
+        r = jnp.take(slot_score_rows, sl, axis=0)
+        return None, jax.lax.bitcast_convert_type(r[..., 0], jnp.float32)
+
+    _, parts = jax.lax.scan(body, None, jnp.arange(W // C))
+    # (nch, B, L, C) -> (B, L, W)
+    return jnp.transpose(parts, (1, 2, 0, 3)).reshape(B, L, W).astype(dtype)
 
 
 def slot_score_rows(tbl: DeviceTables) -> jax.Array:
