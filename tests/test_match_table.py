@@ -143,3 +143,79 @@ def test_build_large_random_vocab_shadow_free():
     by = _vocab_bytes(vocab)
     ents = mt._entry_arrays(by, tbl.max_token_len)
     assert mt._shadowed_entries(ents, tbl.t1, tbl.t2, tbl.bits).size == 0
+
+
+def test_bucket_probe_matches_fast_probe():
+    # The single-probe bucket mode must produce identical scores to the
+    # two-table fast probe, and slots that fold to the same token ids.
+    import random
+
+    from tokengeex_tpu import Model, ScoredToken
+    from tokengeex_tpu.utils.packing import pack_samples
+
+    rng = random.Random(4)
+    alphabet = b"abcdef ()"
+    vocab = [ScoredToken(bytes([b]), rng.uniform(-11.0, -9.0))
+             for b in alphabet]
+    seen = {t.value for t in vocab}
+    while len(vocab) < 120:
+        n = rng.randint(2, 8)
+        w = bytes(rng.choice(alphabet) for _ in range(n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(ScoredToken(w, rng.uniform(-9.0, -1.0)))
+    samples = [
+        "".join(rng.choice("abcdef ()")
+                for _ in range(rng.randint(20, 400))).encode()
+        for _ in range(12)
+    ]
+    tbl = mt.TokenTable.build(vocab)
+    assert tbl.bk is not None
+    dt = lj.DeviceTables.from_table(tbl)
+    packed = pack_samples(samples, width=512)
+    batch = lj.prepare_batch(packed, dt.max_len)
+    s_f, a_f = lj.match_cache(dt, batch, C=512, probe="fast")
+    s_b, a_b = lj.match_cache(dt, batch, C=512, probe="bucket")
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_b))
+    # Matched slots fold to the same ids.
+    af = np.asarray(a_f)
+    ab = np.asarray(a_b)
+    hit = np.asarray(s_f) > -1.0e37
+    ids_f = dt.slot_to_id[np.where(hit, af, 0)]
+    ids_b = dt.bk_slot_to_id[np.where(hit, ab, 0)]
+    np.testing.assert_array_equal(ids_f[hit], ids_b[hit])
+
+    # Viterbi through the bucket probe is byte-identical to native.
+    model = Model(vocab)
+    from tokengeex_tpu.train import estep_device as ed
+
+    got = ed.encode_corpus_device(model, samples, probe="bucket")
+    want = model.native().encode_batch(samples)
+    assert got == want
+
+    # EM counts through the bucket probe match the exact path.
+    import jax.numpy as jnp
+
+    e_b = ed.run_e_step_device(model, samples, dropout=0.0,
+                               max_snippet=256, probe="bucket")
+    e_x = ed.run_e_step_device(model, samples, dropout=0.0,
+                               max_snippet=256, dtype=jnp.float64)
+    np.testing.assert_allclose(e_b, e_x, rtol=3e-3, atol=1e-3)
+
+    # rebind keeps bucket slots stable and rescoring exact.
+    vocab2 = [t.clone_with_score(t.score - 0.5) for i, t in enumerate(vocab)
+              if len(t.value) == 1 or i % 4 != 0]
+    tb2 = tbl.rebind(vocab2)
+    dt2 = lj.DeviceTables.from_table(tb2)
+    m2 = Model(vocab2)
+    got2 = ed.encode_corpus_device(m2, samples, probe="bucket")
+    # encode_corpus_device rebuilds its own table; compare via the
+    # rebound table directly instead:
+    s2, a2 = lj.match_cache(dt2, batch, C=512, probe="bucket")
+    tbl_fresh = mt.TokenTable.build(vocab2)
+    dtf = lj.DeviceTables.from_table(tbl_fresh)
+    sf2, _ = lj.match_cache(dtf, batch, C=512, probe="fast")
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(sf2))
+    # Same-precision comparison (f32 near-ties can differ from the f64
+    # native on this rescored vocab; the f64 parity is tested elsewhere).
+    assert got2 == ed.encode_corpus_device(m2, samples)

@@ -68,6 +68,16 @@ def host_table_index(fp: np.ndarray, length: np.ndarray, a: np.uint32,
     return (u >> np.uint32(32 - bits)).astype(np.int64)
 
 
+def host_bucket_index(fp: np.ndarray, length: np.ndarray, salt: int,
+                      bits: int) -> np.ndarray:
+    """Bucket index for the single-probe table: like host_table_index
+    but with a retryable salt folded into the mix."""
+    with np.errstate(over="ignore"):
+        u = ((fp ^ (length.astype(np.uint32) * IDX_A1) ^ np.uint32(salt))
+             * IDX_M1)
+    return (u >> np.uint32(32 - bits)).astype(np.int64)
+
+
 def powers_u32(r: np.uint32, n: int) -> np.ndarray:
     """[r^0, r^1, ..., r^(n-1)] as uint32."""
     out = np.empty(n, dtype=np.uint32)

@@ -94,6 +94,13 @@ class DeviceTables:
     bits: int
     max_len: int
     vocab_size: int
+    # Single-probe bucket path ("bucket" mode): ONE x16-row gather per
+    # (pos, len) — 8 interleaved [check, score] entries per bucket.
+    t_bucket: Optional[jax.Array] = None  # (Hb, 16) int32
+    bk_slot_to_id: Optional[np.ndarray] = None  # host (8*Hb,) int64
+    bk_slot_len: Optional[np.ndarray] = None
+    bk_bits: int = 0
+    bk_salt: int = 0
 
     @staticmethod
     def from_table(tbl: TokenTable, dtype=jnp.float32) -> "DeviceTables":
@@ -135,11 +142,20 @@ class DeviceTables:
             bits=tbl.bits,
             max_len=tbl.max_token_len,
             vocab_size=tbl.vocab_size,
+            t_bucket=(jnp.asarray(tbl.bk) if tbl.bk is not None else None),
+            bk_slot_to_id=tbl.bk_ids,
+            bk_slot_len=tbl.bk_lens,
+            bk_bits=tbl.bk_bits,
+            bk_salt=tbl.bk_salt,
         )
 
     @property
     def num_slots(self) -> int:
         return 2 * (1 << self.bits)
+
+    @property
+    def bk_num_slots(self) -> int:
+        return 8 * (1 << self.bk_bits)
 
 
 _PREP_CONSTS: dict = {}
@@ -455,6 +471,35 @@ def _match_slab(
     idx2 = jax.lax.shift_right_logical((fp2 ^ a2[None, :, None]) * m2, shift)
 
     neg = jnp.array(NEG_INF, dtype=dtype)
+    if mode == "bucket":
+        # ONE x16-row gather per probe point: 8 interleaved
+        # [check, f32 score bits] entries; entry 0 wins ties (build
+        # guarantees no two vocab tokens share (bucket, fp2)).
+        salt = np.int32(np.uint32(tbl.bk_salt).view(np.int32))
+        shift_b = jnp.int32(32 - tbl.bk_bits)
+        idxb = jax.lax.shift_right_logical(
+            ((fp1 ^ a1[None, :, None]) ^ salt) * m1, shift_b)
+        r = jnp.take(tbl.t_bucket, idxb, axis=0)  # (..., 16)
+        # Sequential broadcast selects keep every op in the
+        # (B, L, C)-shaped lane layout — measured faster than masked
+        # max/min reductions over the size-8 minor axis (relayouts).
+        # Build rejects duplicate (bucket, fp2) pairs, so at most one
+        # entry truly matches; descending k makes entry 0 win against
+        # statistical corpus false-matches deterministically.
+        score = jnp.full(fp1.shape, -3.0e38, dtype=jnp.float32)
+        slot = jnp.full(fp1.shape, tbl.bk_num_slots, dtype=jnp.int32)
+        for k in range(7, -1, -1):
+            c = r[..., 2 * k]
+            sk = jax.lax.bitcast_convert_type(r[..., 2 * k + 1],
+                                              jnp.float32)
+            m = (c == fp2) & (sk > -1.0e38)
+            score = jnp.where(m, sk, score)
+            slot = jnp.where(m, idxb * 8 + k, slot)
+        ok = (score > -1.0e38) & valid
+        score = jnp.where(ok, score, neg).astype(dtype)
+        slot = jnp.where(ok, slot, tbl.bk_num_slots)
+        return score, slot
+
     if mode in ("fast", "em"):
         # ONE row gather per table per probe point (rows are ~2.8x
         # cheaper than single words and carry check + score together).
@@ -515,8 +560,10 @@ def _lse(cand, axis):
     return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
 
 
-def _probe_mode(dtype) -> str:
-    return "exact" if dtype == jnp.float64 else "fast"
+def _probe_mode(tbl, dtype) -> str:
+    if dtype == jnp.float64:
+        return "exact"
+    return "bucket" if tbl.t_bucket is not None else "fast"
 
 
 def match_cache(
@@ -536,7 +583,7 @@ def match_cache(
     W = batch.width
     L = tbl.max_len
     assert W % C == 0
-    mode = probe or _probe_mode(dtype)
+    mode = probe or _probe_mode(tbl, dtype)
 
     def body(_, chunk_idx):
         s, a = _match_slab(
@@ -602,11 +649,13 @@ def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
 
 def slot_score_rows(tbl: DeviceTables) -> jax.Array:
     """(num_slots + 1, 2) int32 rows of f32 score bits per slot, NEG
-    sentinel at the miss index."""
-    s1 = tbl.t1_fast[:, 1]
-    s2 = tbl.t2_fast[:, 1]
+    sentinel at the miss index. Matches the default probe's slot space
+    (bucket when available, else the two-table cuckoo layout)."""
     neg = jnp.asarray(np.array([NEG_INF], np.float32).view(np.int32))
-    col = jnp.concatenate([s1, s2, neg])
+    if tbl.t_bucket is not None:
+        col = jnp.concatenate([tbl.t_bucket[:, 1::2].reshape(-1), neg])
+    else:
+        col = jnp.concatenate([tbl.t1_fast[:, 1], tbl.t2_fast[:, 1], neg])
     return jnp.stack([col, jnp.zeros_like(col)], axis=1)
 
 
@@ -637,7 +686,7 @@ def _forward_chunk(tbl, batch, chunk_start, C, L, dtype, drop_u, dropout,
     """
     score_e, _aux = _match_slab(
         tbl, batch, chunk_start, C, L, drop_u, dropout, dtype,
-        mode=probe or _probe_mode(dtype), end_indexed=True,
+        mode=probe or _probe_mode(tbl, dtype), end_indexed=True,
     )
     return score_e
 
@@ -881,8 +930,13 @@ def backward_expected(
     if backend == "pallas":
         assert B % 128 == 0 and dtype == jnp.float32
     nchunks = W // C
-    mode = probe or _probe_mode(dtype)
-    nbins = V if mode == "exact" else tbl.num_slots
+    mode = probe or _probe_mode(tbl, dtype)
+    if mode == "exact":
+        nbins = V
+    elif mode == "bucket":
+        nbins = tbl.bk_num_slots
+    else:
+        nbins = tbl.num_slots
 
     # Per-position normalizer Z[p] = A[end of sample containing p].
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
@@ -988,15 +1042,21 @@ def backward_expected(
 def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:
     """Fold a backward_expected() accumulator to per-token counts (V,).
 
-    Fast-path accumulators are slot-indexed; the host maps slots to ids
-    with its copy of the table. Exact-path accumulators pass through.
+    Fast/bucket-path accumulators are slot-indexed (dispatched on
+    length); the host maps slots to ids with its copy of the table.
+    Exact-path accumulators pass through.
     """
     acc = np.asarray(acc, dtype=np.float64)
     if acc.shape[0] == tbl.vocab_size:
         return acc
+    if tbl.bk_slot_to_id is not None and \
+            acc.shape[0] == tbl.bk_slot_to_id.shape[0]:
+        mapping = tbl.bk_slot_to_id
+    else:
+        mapping = tbl.slot_to_id
     expected = np.zeros(tbl.vocab_size, dtype=np.float64)
-    valid = tbl.slot_to_id >= 0
-    np.add.at(expected, tbl.slot_to_id[valid], acc[valid])
+    valid = mapping >= 0
+    np.add.at(expected, mapping[valid], acc[valid])
     return expected
 
 

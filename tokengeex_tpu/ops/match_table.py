@@ -56,6 +56,15 @@ class TokenTable:
     max_token_len: int  # L: longest token in bytes
     vocab_size: int
     token_bytes: Optional[list] = None  # bytes per id (enables rebind)
+    # Single-probe bucket structure (the fast path): 8-way buckets as
+    # x16 rows [check0, score0, ..., check7, score7]; one row gather
+    # resolves a probe. Built with a salt retried until no bucket
+    # overflows 8 entries and no two entries in a bucket share fp2.
+    bk: Optional[np.ndarray] = None  # (Hb, 16) int32
+    bk_ids: Optional[np.ndarray] = None  # (Hb * 8,) int64 ids, -1 empty
+    bk_lens: Optional[np.ndarray] = None  # (Hb * 8,) int64
+    bk_bits: int = 0
+    bk_salt: int = 0
 
     def rebind(self, vocab: Sequence[ScoredToken]) -> "TokenTable":
         """Bind the SAME slot layout to a new vocabulary whose token set
@@ -100,11 +109,26 @@ class TokenTable:
 
         scores64 = np.array([t.score for t in vocab], dtype=np.float64)
         token_bytes = [t.value for t in vocab]
+        bk = bk_ids = None
+        if self.bk is not None:
+            # Same buckets/salt (slots stable); rescore + clear removed.
+            bk = self.bk.copy()
+            occ = self.bk_ids >= 0
+            new = np.where(occ, lut[np.where(occ, self.bk_ids, 0)], -1)
+            score_col = np.full(self.bk_ids.shape[0], _NEG_SCORE_BITS,
+                                dtype=np.int32)
+            alive = new >= 0
+            score_col[alive] = scores64[new[alive]].astype(
+                np.float32).view(np.int32)
+            bk[:, 1::2] = score_col.reshape(bk.shape[0], 8)
+            bk_ids = new
         return TokenTable(
             t1=remap(self.t1), t2=remap(self.t2), bits=self.bits,
             scores=scores64.astype(np.float32), scores_f64=scores64,
             max_token_len=self.max_token_len, vocab_size=len(vocab),
             token_bytes=token_bytes,
+            bk=bk, bk_ids=bk_ids, bk_lens=self.bk_lens,
+            bk_bits=self.bk_bits, bk_salt=self.bk_salt,
         )
 
     @staticmethod
@@ -156,6 +180,8 @@ class TokenTable:
                 "could not build a shadow-free token table")
 
         scores64 = np.array([t.score for t in vocab], dtype=np.float64)
+        bk, bk_ids, bk_lens, bk_bits, bk_salt = _build_bucket(
+            entries, scores64, len(by_bytes), min_bits=min_bits)
         return TokenTable(
             t1=t1,
             t2=t2,
@@ -165,7 +191,65 @@ class TokenTable:
             max_token_len=max_len,
             vocab_size=v,
             token_bytes=[t.value for t in vocab],
+            bk=bk, bk_ids=bk_ids, bk_lens=bk_lens,
+            bk_bits=bk_bits, bk_salt=bk_salt,
         )
+
+
+_NEG_SCORE_BITS = int(np.array([-3.0e38], np.float32).view(np.int32)[0])
+
+
+def _build_bucket(entries, scores_f64: np.ndarray, n_tokens: int,
+                  min_bits: Optional[int] = None):
+    """Single-probe 8-way bucket table: (Hb, 16) rows of interleaved
+    [check=fp2, f32 score bits] entries. Mean load is kept <= 0.5 per
+    bucket so overflow (more than 8 entries) and intra-bucket fp2
+    duplicates are astronomically rare; the salt retries until neither
+    occurs, making every vocabulary token resolvable by construction
+    (entry 0 wins ties in the probe's select chain, but duplicates are
+    rejected so ties never involve two vocab tokens)."""
+    fp1, fp2, lens, ids = entries
+    n = fp1.shape[0]
+    bits = max(6, int(np.ceil(np.log2(max(2 * n, 2)))))
+    if min_bits is not None:
+        bits = max(bits, min_bits)
+    nbuckets = 1 << bits
+    for salt in range(256):
+        idx = _bucket_idx(fp1, lens, salt, bits)
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        if n:
+            # position within bucket
+            first = np.ones(n, dtype=bool)
+            first[1:] = sidx[1:] != sidx[:-1]
+            starts = np.nonzero(first)[0]
+            k = np.arange(n) - np.repeat(starts, np.diff(
+                np.append(starts, n)))
+            if k.max(initial=0) > 7:
+                continue
+            key = (sidx.astype(np.uint64) << np.uint64(32)) | \
+                fp2[order].astype(np.uint64)
+            if np.unique(key).size != n:
+                continue  # same (bucket, fp2) twice: irreconcilable
+        else:
+            k = np.zeros(0, dtype=np.int64)
+        bk = np.zeros((nbuckets, 16), dtype=np.int32)
+        bk[:, 1::2] = _NEG_SCORE_BITS
+        bk_ids = np.full(nbuckets * 8, -1, dtype=np.int64)
+        bk_lens = np.zeros(nbuckets * 8, dtype=np.int64)
+        if n:
+            scores32 = scores_f64[ids[order].astype(np.int64)].astype(
+                np.float32).view(np.int32)
+            bk[sidx, 2 * k] = fp2[order].view(np.int32)
+            bk[sidx, 2 * k + 1] = scores32
+            bk_ids[sidx * 8 + k] = ids[order].astype(np.int64)
+            bk_lens[sidx * 8 + k] = lens[order].astype(np.int64)
+        return bk, bk_ids, bk_lens, bits, salt
+    raise CuckooBuildError("bucket table build failed (salt exhausted)")
+
+
+def _bucket_idx(fp1, lens, salt, bits):
+    return H.host_bucket_index(fp1, lens, salt, bits)
 
 
 def _entry_arrays(by_bytes: dict, max_len: int):

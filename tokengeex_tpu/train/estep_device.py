@@ -96,11 +96,9 @@ def run_e_step_device(
     if dtype is None:
         dtype = jnp.float32
     kernel = kernel or _default_backend()
-    if probe is None:
-        # The single-word EM probe (1 gather per table) is the default
-        # on the f32 fast path; see DeviceTables docs for the accuracy
-        # trade-off.
-        probe = "em" if dtype == jnp.float32 else None
+    # probe=None resolves per table: the single-probe bucket layout on
+    # the f32 path (exact scores, one row gather per probe point), the
+    # exact path for f64.
     hb, hl = table_hints or (None, None)
     tbl = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
