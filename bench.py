@@ -85,12 +85,19 @@ def main():
     native = model.native()
     nat_rate = None
     if native is not None:
+        # Best of 3: the benchmark host is shared and the CPU baseline
+        # is noisy (observed 6-79 MB/s across runs at identical
+        # configs); the best run is closest to an unloaded host.
         native.encode_batch(samples[:4])  # warm
-        t0 = time.time()
-        native.encode_batch(samples)
-        nat_s = time.time() - t0
-        nat_rate = total_bytes / nat_s
-        log(f"native CPU ({os.cpu_count()} threads): {nat_rate/1e6:.1f} MB/s")
+        rates = []
+        for _ in range(3):
+            t0 = time.time()
+            native.encode_batch(samples)
+            rates.append(total_bytes / (time.time() - t0))
+        nat_rate = max(rates)
+        log(f"native CPU ({os.cpu_count()} threads): "
+            f"best {nat_rate/1e6:.1f} MB/s of "
+            f"{[round(r/1e6, 1) for r in rates]}")
 
     # -- Device path -------------------------------------------------------
     import jax

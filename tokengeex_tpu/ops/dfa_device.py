@@ -131,14 +131,18 @@ def feed_candidates_device(
     host extracts the sparse survivors."""
     import jax.numpy as jnp
 
+    import jax
+
     ddfa = DeviceDFA.from_byte_dfa(dfa) if dfa is not None else None
     W = max((len(s) for s in samples), default=1)
+    W8 = -(-W // 8) * 8
     out: List[set] = [set() for _ in samples]
-    rows_per_group = max(1, group_bytes // max(W, 1))
+    rows_per_group = max(1, group_bytes // max(W8, 1))
+
     for g0 in range(0, len(samples), rows_per_group):
         chunk = samples[g0 : g0 + rows_per_group]
         B = len(chunk)
-        arr = np.zeros((B, W), dtype=np.uint8)
+        arr = np.zeros((B, W8), dtype=np.uint8)
         lens = np.zeros(B, dtype=np.int32)
         for i, s in enumerate(chunk):
             arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
@@ -147,7 +151,15 @@ def feed_candidates_device(
             ddfa, jnp.asarray(arr), jnp.asarray(lens), max_len,
             insert_probability, seed + g0,
         )
-        bs, ls, ps = np.nonzero(np.asarray(mask))
+        # Bit-pack on device: the host link sees 2 bits per corpus byte
+        # per length instead of 8 (L/8 bytes per corpus byte total).
+        m = mask.reshape(B, max_len, W8 // 8, 8)
+        weights = (1 << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
+        packed = (m.astype(jnp.uint32) * weights).sum(
+            axis=-1).astype(jnp.uint8)
+        bits = np.unpackbits(np.asarray(packed), axis=-1,
+                             bitorder="little").reshape(B, max_len, W8)
+        bs, ls, ps = np.nonzero(bits)
         for b, l, p in zip(bs, ls, ps):
             out[g0 + b].add(chunk[b][p : p + l + 1])
     return out
