@@ -131,6 +131,8 @@ def feed_candidates_device(
     host extracts the sparse survivors."""
     import jax.numpy as jnp
 
+    import functools
+
     import jax
 
     ddfa = DeviceDFA.from_byte_dfa(dfa) if dfa is not None else None
@@ -139,27 +141,33 @@ def feed_candidates_device(
     out: List[set] = [set() for _ in samples]
     rows_per_group = max(1, group_bytes // max(W8, 1))
 
+    @jax.jit
+    def packed_mask(arr, lens, seed_s):
+        mask = candidate_mask_device(ddfa, arr, lens, max_len,
+                                     insert_probability, seed_s)
+        # Bit-pack on device: the host link sees L/8 bytes per corpus
+        # byte instead of L bools.
+        B = arr.shape[0]
+        m = mask.reshape(B, max_len, W8 // 8, 8)
+        weights = (1 << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
+        return (m.astype(jnp.uint32) * weights).sum(
+            axis=-1).astype(jnp.uint8)
+
+    # Pad the trailing group so one compiled shape serves all groups.
     for g0 in range(0, len(samples), rows_per_group):
         chunk = samples[g0 : g0 + rows_per_group]
-        B = len(chunk)
+        B = rows_per_group if len(samples) > rows_per_group else len(chunk)
         arr = np.zeros((B, W8), dtype=np.uint8)
         lens = np.zeros(B, dtype=np.int32)
         for i, s in enumerate(chunk):
             arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
             lens[i] = len(s)
-        mask = candidate_mask_device(
-            ddfa, jnp.asarray(arr), jnp.asarray(lens), max_len,
-            insert_probability, seed + g0,
-        )
-        # Bit-pack on device: the host link sees 2 bits per corpus byte
-        # per length instead of 8 (L/8 bytes per corpus byte total).
-        m = mask.reshape(B, max_len, W8 // 8, 8)
-        weights = (1 << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
-        packed = (m.astype(jnp.uint32) * weights).sum(
-            axis=-1).astype(jnp.uint8)
+        packed = packed_mask(jnp.asarray(arr), jnp.asarray(lens),
+                             jnp.uint32(seed + g0))
         bits = np.unpackbits(np.asarray(packed), axis=-1,
                              bitorder="little").reshape(B, max_len, W8)
         bs, ls, ps = np.nonzero(bits)
         for b, l, p in zip(bs, ls, ps):
-            out[g0 + b].add(chunk[b][p : p + l + 1])
+            if b < len(chunk):
+                out[g0 + b].add(chunk[b][p : p + l + 1])
     return out
