@@ -246,6 +246,25 @@ class DeviceTrainSession:
                     if len(s) > self.max_snippet]
         long_set = set(long_idx)
 
+        from ..utils.packing import PackedBatch
+
+        def drain(pending):
+            sub, dp_ends_dev, best_l_dev, spans_whole = pending
+            best_l_host = np.asarray(best_l_dev)
+            dp_ends = np.asarray(dp_ends_dev) if spans_whole else \
+                np.zeros(0, dtype=np.float32)
+            view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
+                               sub.end_index, spans_whole)
+            for ids in lj.backtrack(view, dp_ends, best_l_host,
+                                    token_to_id):
+                if ids:
+                    np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+            if task is not None:
+                nbytes = sum(e - s for (_, s, e, _, _) in spans_whole)
+                task.record(nbytes,
+                            len({si for (_, _, _, si, _) in spans_whole}))
+
+        pending = None
         for gi, sub in self._groups():
             batch = lj.prepare_batch(sub, self.L)
             score, slots = self._probe_group(gi, batch)
@@ -259,26 +278,21 @@ class DeviceTrainSession:
                                         backend=self.kernel,
                                         cache=(score, slots))
             spans_whole = [sp for sp in sub.spans if sp[3] not in long_set]
-            best_l_host = np.asarray(best_l.astype(jnp.int8))
             if spans_whole:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in spans_whole])
                 ends_idx = np.asarray(
                     [e - 1 for (_, _, e, _, _) in spans_whole])
-                dp_ends = np.asarray(dp[rows_idx, np.maximum(ends_idx, 0)])
+                dp_ends_dev = dp[rows_idx, np.maximum(ends_idx, 0)]
             else:
-                dp_ends = np.zeros(0, dtype=np.float32)
-            from ..utils.packing import PackedBatch
-
-            view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
-                               sub.end_index, spans_whole)
-            for ids in lj.backtrack(view, dp_ends, best_l_host,
-                                    token_to_id):
-                if ids:
-                    np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
-            if task is not None:
-                nbytes = sum(e - s for (_, s, e, _, _) in spans_whole)
-                task.record(nbytes,
-                            len({si for (_, _, _, si, _) in spans_whole}))
+                dp_ends_dev = None
+            nxt = (sub, dp_ends_dev, best_l.astype(jnp.int8), spans_whole)
+            # 1-deep prefetch: backtrack the previous group on host
+            # while this group computes on device.
+            if pending is not None:
+                drain(pending)
+            pending = nxt
+        if pending is not None:
+            drain(pending)
 
         if long_idx:
             encoded = ed.encode_corpus_device(
