@@ -219,20 +219,33 @@ def _device_prep(bytes_u8, flags_u8, consts, L: int):
     )
 
 
-def prepare_batch(packed: PackedBatch, L: int) -> DeviceBatch:
-    """Build the device-resident batch from a packed corpus view."""
+def prepare_batch_inputs(packed: PackedBatch):
+    """Compact host->device inputs (~3 bytes per corpus byte): raw
+    bytes + boundary flags. Cacheable on device across passes."""
     B, W = packed.bytes_arr.shape
     flags = np.zeros((B, W + 1), dtype=np.uint8)
     flags[packed.is_start] |= 1
     flags[_is_end_from_spans(packed)] |= 2
+    return jnp.asarray(packed.bytes_arr), jnp.asarray(flags)
+
+
+def prepare_batch_from_inputs(gbytes, gflags, L: int) -> DeviceBatch:
+    """Derive the full DeviceBatch from cached compact inputs."""
+    B, W = gbytes.shape
     consts = _prep_consts(W, L)
     p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2 = _device_prep(
-        jnp.asarray(packed.bytes_arr), jnp.asarray(flags), consts, L
+        gbytes, gflags, consts, L
     )
     return DeviceBatch(
         p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
         end_index=end_index, rinv1=rinv1, rinv2=rinv2, width=W, pad=L,
     )
+
+
+def prepare_batch(packed: PackedBatch, L: int) -> DeviceBatch:
+    """Build the device-resident batch from a packed corpus view."""
+    gbytes, gflags = prepare_batch_inputs(packed)
+    return prepare_batch_from_inputs(gbytes, gflags, L)
 
 
 _CHAIN_CONSTS: dict = {}

@@ -11,7 +11,7 @@ frequency pass, and prune rounds. This session:
     ids/scores per model (slots never move);
   - probes each row group ONCE (dropout-free) and caches the slot
     arrays in device memory under a budget (TGX_SLOT_CACHE_BYTES,
-    default 6 GiB);
+    default 4 GiB);
   - later passes re-gather only the current score per cached slot (one
     row gather per probe point instead of a full two-table probe) and
     apply fresh dropout masks per pass.
@@ -65,10 +65,16 @@ class DeviceTrainSession:
             else self.n_dev
         if cache_budget is None:
             cache_budget = int(os.environ.get(
-                "TGX_SLOT_CACHE_BYTES", 6 << 30))
+                "TGX_SLOT_CACHE_BYTES", 4 << 30))
         self.cache_budget = cache_budget
         self.cache_used = 0
         self.slot_cache: Dict[int, object] = {}
+        # Compact batch inputs (~3 B per corpus byte) cached on device:
+        # host->device corpus transfer happens once per session.
+        self.input_cache: Dict[int, tuple] = {}
+        self.input_budget = int(os.environ.get(
+            "TGX_INPUT_CACHE_BYTES", 2 << 30))
+        self.input_used = 0
         self._model: Optional[Model] = None
         self._estep_calls = 0
         self._fns: Dict[str, object] = {}
@@ -119,11 +125,20 @@ class DeviceTrainSession:
                 sub = pmesh.pad_rows_to_multiple(sub, self.row_mult)
             yield gi, sub
 
+    def _batch_for(self, gi: int, sub):
+        if gi in self.input_cache:
+            gbytes, gflags = self.input_cache[gi]
+        else:
+            gbytes, gflags = lj.prepare_batch_inputs(sub)
+            size = int(np.prod(gbytes.shape)) + int(np.prod(gflags.shape))
+            if self.input_used + size <= self.input_budget:
+                self.input_cache[gi] = (gbytes, gflags)
+                self.input_used += size
+        return lj.prepare_batch_from_inputs(gbytes, gflags, self.L)
+
     def _probe_group(self, gi: int, batch):
         """(score, slot) for a group: cached slots + fresh score gather,
         or a full dropout-free probe (cached under budget)."""
-        import jax.numpy as jnp  # noqa: F401
-
         import jax.numpy as jnp
 
         if gi in self.slot_cache:
@@ -180,7 +195,7 @@ class DeviceTrainSession:
         acc = None
         z_checks = []  # (device z array, spans) — materialized at the end
         for gi, sub in self._groups():
-            batch = lj.prepare_batch(sub, self.L)
+            batch = self._batch_for(gi, sub)
             drop_u = None
             if dropout > 0.0:
                 key, sub_key = jax.random.split(key)
@@ -201,9 +216,13 @@ class DeviceTrainSession:
                 exp_g = lj.backward_expected(
                     self.dt, batch, A, C=self.chunk, dtype=self.dtype,
                     backend=self.kernel, cache=(score, slots))
-            # Keep everything on device; one sync at the end lets the
-            # device stream groups while the host preps the next one.
+            # Keep everything on device; sync every other group so at
+            # most ~2 groups of intermediates are in flight (the host
+            # still preps group g+1 while group g computes) — unbounded
+            # streaming OOMs large corpora.
             acc = exp_g if acc is None else acc + exp_g
+            if gi % 2 == 1:
+                jax.block_until_ready(acc)
             if sub.spans:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
                 ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
@@ -266,7 +285,7 @@ class DeviceTrainSession:
 
         pending = None
         for gi, sub in self._groups():
-            batch = lj.prepare_batch(sub, self.L)
+            batch = self._batch_for(gi, sub)
             score, slots = self._probe_group(gi, batch)
             if self.use_mesh:
                 fns = self._mesh_fns()

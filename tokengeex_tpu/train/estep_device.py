@@ -168,9 +168,12 @@ def run_e_step_device(
                                          drop_u=drop_u, dropout=dropout,
                                          backend=kernel, probe=probe,
                                          cache=cache)
-        # Keep counts and z-checks on device; one sync after the loop
-        # lets the device stream groups while the host preps the next.
+        # Keep counts and z-checks on device; sync every other group so
+        # at most ~2 groups of intermediates are in flight (prep of the
+        # next group still overlaps) — unbounded streaming OOMs.
         acc = exp_g if acc is None else acc + exp_g
+        if gi % 2 == 1:
+            jax.block_until_ready(acc)
         if n_proc > 1:
             lo, A_local = pmesh.local_rows(A)
             spans_here = [sp for sp in sub.spans
