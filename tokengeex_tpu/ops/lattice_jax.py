@@ -1034,8 +1034,16 @@ def backward_expected(
         if mode == "exact":
             safe_bins = jnp.where(bins >= 0, bins, nbins)
         else:
-            safe_bins = bins  # already num_slots for misses
-        expected = expected.at[safe_bins.reshape(-1)].add(
+            safe_bins = bins  # already the miss sentinel for misses
+        flat_bins = safe_bins.reshape(-1)
+        # ~80-90% of probe points are misses; routing them all at ONE
+        # sentinel address would serialize the scatter's read-modify-
+        # write on that address. Spread misses (their margs are zero)
+        # over a scratch region instead; the final slice drops it.
+        spread = jnp.arange(flat_bins.shape[0], dtype=jnp.int32) & 4095
+        flat_bins = jnp.where(flat_bins >= nbins, nbins + spread,
+                              flat_bins)
+        expected = expected.at[flat_bins].add(
             margs.reshape(-1), mode="drop"
         )
         return (hist, expected), None
@@ -1045,7 +1053,7 @@ def backward_expected(
     hist0 = hist0.at[:, 0].set(
         jnp.where(batch.is_end[:, W], 0.0, NEG_INF).astype(dtype)
     )
-    expected0 = jnp.zeros((nbins + 1,), dtype=dtype)
+    expected0 = jnp.zeros((nbins + 4096,), dtype=dtype)
     (hist, expected), _ = jax.lax.scan(
         chunk_body, (hist0, expected0), jnp.arange(nchunks)
     )
