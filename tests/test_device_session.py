@@ -110,3 +110,15 @@ def test_pruner_device_backend_uses_session(setup):
     ids = ed.encode_corpus_device(m2, samples[:4])
     for s, i in zip(samples[:4], ids):
         assert m2.decode_bytes(i) == s
+
+
+def test_session_dropout_matches_legacy(setup):
+    # Same seed => same per-group drop_u stream => identical expected
+    # counts whether dropout is baked into the probe (legacy) or applied
+    # as a post-mask over cached slots (session).
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    e_sess = sess.e_step(model, 0.3, 5)
+    e_leg = ed.run_e_step_device(model, samples, dropout=0.3,
+                                 max_snippet=256, seed=5)
+    np.testing.assert_allclose(e_sess, e_leg, rtol=1e-6, atol=1e-6)
