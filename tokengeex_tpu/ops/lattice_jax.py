@@ -598,28 +598,37 @@ def match_cache(
     assert W % C == 0
     mode = probe or _probe_mode(tbl, dtype)
 
-    def body(_, chunk_idx):
+    def body(carry, chunk_idx):
+        scores, aux = carry
         s, a = _match_slab(
             tbl, batch, chunk_idx * C, C, L, drop_u, dropout, dtype, mode=mode
         )
-        return None, (s, a)
+        # In-place window updates: XLA aliases the scan carry, so the
+        # peak is ONE (B, L, W) buffer per output (a scan-stacked
+        # (nchunks, B, L, C) + transpose costs two extra full copies,
+        # which at 100k-vocab group sizes OOMs streamed corpora).
+        scores = jax.lax.dynamic_update_slice(scores, s, (0, 0, chunk_idx * C))
+        aux = jax.lax.dynamic_update_slice(aux, a, (0, 0, chunk_idx * C))
+        return (scores, aux), None
 
-    _, (scores, aux) = jax.lax.scan(body, None, jnp.arange(W // C))
-    # (nchunks, B, L, C) -> (B, L, W)
-    scores = jnp.transpose(scores, (1, 2, 0, 3)).reshape(B, L, W)
-    aux = jnp.transpose(aux, (1, 2, 0, 3)).reshape(B, L, W)
+    init = (
+        jnp.zeros((B, L, W), dtype=dtype),
+        jnp.zeros((B, L, W), dtype=jnp.int32),
+    )
+    (scores, aux), _ = jax.lax.scan(body, init, jnp.arange(W // C))
     return scores, aux
 
 
-def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
-                      W: int) -> jax.Array:
-    """(B, L, W) keep-mask for a start-indexed match cache — the same
-    coin stream as _match_slab's start-indexed dropout (key = token
-    start position, mixed per length), applied AFTER probing so a
-    dropout-free slot cache can be reused across passes with fresh
-    masks (reference: src/model.rs:48-51 flips per candidate)."""
+def _dropout_keep_window(drop_u: jax.Array, dropout: float, L: int,
+                         pad: int, start: int, span) -> jax.Array:
+    """(B, L, span) keep-mask for start positions [start, start+span)
+    of a start-indexed match cache — the same coin stream as
+    _match_slab's start-indexed dropout (key = token start position,
+    mixed per length). `start` may reach -L (the end-view slab's left
+    context); pad == L guarantees the slice index stays in range."""
     B = drop_u.shape[0]
-    drop_base = jax.lax.dynamic_slice(drop_u, (0, pad), (B, W))[:, None, :]
+    drop_base = jax.lax.dynamic_slice(
+        drop_u, (0, pad + start), (B, span))[:, None, :]
     odd = np.asarray(
         (np.arange(1, L + 1, dtype=np.int64) * 2654435761) % (1 << 32),
         dtype=np.uint32,
@@ -633,6 +642,16 @@ def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
                                      jnp.int32(1))
     lens_col = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :, None]
     return ~((u < tt) & (lens_col > 1))
+
+
+def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
+                      W: int) -> jax.Array:
+    """Full-width (B, L, W) keep-mask (see _dropout_keep_window);
+    applied AFTER probing so a dropout-free slot cache can be reused
+    across passes with fresh masks (reference: src/model.rs:48-51
+    flips per candidate). Prefer passing drop_u to forward/backward
+    with a cache — they mask per chunk without a full-size copy."""
+    return _dropout_keep_window(drop_u, dropout, L, pad, 0, W)
 
 
 def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
@@ -650,14 +669,17 @@ def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
         return jax.lax.bitcast_convert_type(
             r[..., 0], jnp.float32).astype(dtype)
 
-    def body(_, i):
+    def body(out, i):
         sl = jax.lax.dynamic_slice(slots, (0, 0, i * C), (B, L, C))
         r = jnp.take(slot_score_rows, sl, axis=0)
-        return None, jax.lax.bitcast_convert_type(r[..., 0], jnp.float32)
+        s = jax.lax.bitcast_convert_type(r[..., 0], jnp.float32).astype(dtype)
+        # In-place carry update (see match_cache): one output buffer
+        # instead of stack+transpose's three.
+        return jax.lax.dynamic_update_slice(out, s, (0, 0, i * C)), None
 
-    _, parts = jax.lax.scan(body, None, jnp.arange(W // C))
-    # (nch, B, L, C) -> (B, L, W)
-    return jnp.transpose(parts, (1, 2, 0, 3)).reshape(B, L, W).astype(dtype)
+    out, _ = jax.lax.scan(body, jnp.zeros((B, L, W), dtype=dtype),
+                          jnp.arange(W // C))
+    return out
 
 
 def slot_score_rows(tbl: DeviceTables) -> jax.Array:
@@ -673,17 +695,24 @@ def slot_score_rows(tbl: DeviceTables) -> jax.Array:
 
 
 def _cache_end_view(score_cache: jax.Array, chunk_start, C: int, L: int,
-                    dtype) -> jax.Array:
+                    dtype, drop_u=None, dropout: float = 0.0,
+                    pad: int = 0) -> jax.Array:
     """End-indexed (B, L, C) chunk view of a start-indexed cache.
 
     Row j at dp step q needs the token of length l=j+1 beginning at
     chunk_start + q - j; pad L leading positions with NEG so early
-    chunks read misses for out-of-range starts."""
+    chunks read misses for out-of-range starts. When drop_u is given,
+    the dropout keep-mask is applied to the slab here, per chunk — a
+    full-width masked copy of the cache would cost another (B, L, W)
+    buffer."""
     B, _, W = score_cache.shape
-    neg = jnp.array(NEG_INF, dtype=dtype)
     padded = jnp.pad(score_cache, ((0, 0), (0, 0), (L, 0)),
                      constant_values=NEG_INF)
     slab = jax.lax.dynamic_slice(padded, (0, 0, chunk_start), (B, L, C + L))
+    if drop_u is not None and dropout > 0.0:
+        keep = _dropout_keep_window(drop_u, dropout, L, pad,
+                                    chunk_start - L, C + L)
+        slab = jnp.where(keep, slab, jnp.array(NEG_INF, slab.dtype))
     return jnp.stack(
         [slab[:, j, L - j : L - j + C] for j in range(L)], axis=1
     )
@@ -793,7 +822,9 @@ def _scan_forward(
     def chunk_body(hist, chunk_idx):
         chunk_start = chunk_idx * C
         if cache is not None:
-            score_e = _cache_end_view(cache[0], chunk_start, C, L, dtype)
+            score_e = _cache_end_view(cache[0], chunk_start, C, L, dtype,
+                                      drop_u=drop_u, dropout=dropout,
+                                      pad=batch.pad)
         else:
             score_e = _forward_chunk(
                 tbl, batch, chunk_start, C, L, dtype, drop_u, dropout, probe
@@ -966,6 +997,11 @@ def backward_expected(
                 cache[0], (0, 0, chunk_start), (B, L, C))
             aux_s = jax.lax.dynamic_slice(
                 cache[1], (0, 0, chunk_start), (B, L, C))
+            if drop_u is not None and dropout > 0.0:
+                keep = _dropout_keep_window(drop_u, dropout, L, batch.pad,
+                                            chunk_start, C)
+                score_s = jnp.where(keep, score_s,
+                                    jnp.array(NEG_INF, score_s.dtype))
         else:
             score_s, aux_s = _match_slab(
                 tbl, batch, chunk_start, C, L, drop_u, dropout, dtype,

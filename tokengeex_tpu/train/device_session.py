@@ -204,25 +204,32 @@ class DeviceTrainSession:
                     minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
                 )
             score, slots = self._probe_group(gi, batch)
-            score = self._apply_dropout(score, batch, dropout, drop_u)
             if self.use_mesh:
+                # The sharded fns mask per chunk from drop_u; a host-
+                # side full-width masked copy would double the group's
+                # cache footprint.
+                score = self._apply_dropout(score, batch, dropout, drop_u)
                 fns = self._mesh_fns()
                 A, exp_g = fns["estep"](
                     *(pmesh.batch_to_arrays(batch) + (score, slots)))
             else:
                 A = lj.forward(self.dt, batch, C=self.chunk,
                                dtype=self.dtype, backend=self.kernel,
-                               cache=(score, slots))
+                               cache=(score, slots), drop_u=drop_u,
+                               dropout=dropout)
                 exp_g = lj.backward_expected(
                     self.dt, batch, A, C=self.chunk, dtype=self.dtype,
-                    backend=self.kernel, cache=(score, slots))
+                    backend=self.kernel, cache=(score, slots),
+                    drop_u=drop_u, dropout=dropout)
             # Keep everything on device; sync every other group so at
             # most ~2 groups of intermediates are in flight (the host
             # still preps group g+1 while group g computes) — unbounded
             # streaming OOMs large corpora.
             acc = exp_g if acc is None else acc + exp_g
             if gi % 2 == 1:
-                jax.block_until_ready(acc)
+                # device_get forces real completion (block_until_ready
+                # does not round-trip through the axon relay).
+                jax.device_get(acc[:1])
             if sub.spans:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
                 ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])

@@ -12,6 +12,7 @@ count tensors reduced with psum (parallel/mesh.py).
 from __future__ import annotations
 
 import logging
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -26,8 +27,11 @@ log = logging.getLogger(__name__)
 
 # Position-chunk length for the outer scan; width is padded to a multiple.
 CHUNK = 512
-# Target bytes per device dispatch (rows_per_group * width).
-GROUP_BYTES = 1 << 23
+# Target bytes per device dispatch (rows_per_group * width). Steady
+# throughput is flat from 4 MB up (measured round 1: 4 MB == 8 MB per
+# dispatch); 4 MB halves the peak HBM of the depth-2 streamed pipeline,
+# which at 100k-vocab scale is what bounds corpus size.
+GROUP_BYTES = int(os.environ.get("TGX_GROUP_BYTES", 1 << 22))
 # Samples longer than this encode via chained fixed-width windows with a
 # carried dp tail instead of inflating the pack width (see
 # _encode_chained; reference: src/model.rs:59-129 encodes unchunked).
@@ -173,7 +177,9 @@ def run_e_step_device(
         # next group still overlaps) — unbounded streaming OOMs.
         acc = exp_g if acc is None else acc + exp_g
         if gi % 2 == 1:
-            jax.block_until_ready(acc)
+            # device_get forces real completion (block_until_ready does
+            # not round-trip through the axon relay).
+            jax.device_get(acc[:1])
         if n_proc > 1:
             lo, A_local = pmesh.local_rows(A)
             spans_here = [sp for sp in sub.spans
