@@ -584,6 +584,159 @@ int64_t tg_count_pairs(Model* m, const uint8_t* data, const int64_t* offsets,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Fast byte-string counting structures for the generate feed.
+//
+// std::unordered_map<std::string, ...> spends most of the feed in node
+// allocations and string copies (millions of 2-16 byte keys). These are
+// open-addressing tables keyed by a 64-bit byte hash with exact compare
+// against an append-only arena — one allocation-free probe per lookup.
+// ---------------------------------------------------------------------------
+
+inline uint64_t hash_bytes(const uint8_t* p, uint32_t len) {
+  // FNV-1a with a 64-bit avalanche finish.
+  uint64_t h = 0xCBF29CE484222325ull;
+  for (uint32_t i = 0; i < len; ++i) h = (h ^ p[i]) * 0x100000001B3ull;
+  h ^= h >> 33;
+  h *= 0xFF51AFD7ED558CCDull;
+  h ^= h >> 33;
+  return h;
+}
+
+struct CountMap {
+  struct Entry {
+    uint64_t hash = 0;
+    uint64_t off = 0;  // 64-bit: reference-scale feeds exceed 4 GB arenas
+    uint32_t len = 0;  // 0 = empty slot
+    int64_t count = 0;
+  };
+  std::vector<Entry> slots;
+  std::vector<uint8_t> arena;
+  size_t used = 0;
+
+  CountMap() { slots.resize(1 << 16); }
+
+  void grow() {
+    std::vector<Entry> old;
+    old.swap(slots);
+    slots.resize(old.size() * 2);
+    for (const auto& e : old) {
+      if (!e.len) continue;
+      size_t mask = slots.size() - 1;
+      size_t i = e.hash & mask;
+      while (slots[i].len) i = (i + 1) & mask;
+      slots[i] = e;
+    }
+  }
+
+  void add(const uint8_t* p, uint32_t len, int64_t n) {
+    if (used * 10 >= slots.size() * 7) grow();
+    uint64_t h = hash_bytes(p, len);
+    size_t mask = slots.size() - 1;
+    size_t i = h & mask;
+    while (slots[i].len) {
+      if (slots[i].hash == h && slots[i].len == len &&
+          std::memcmp(arena.data() + slots[i].off, p, len) == 0) {
+        slots[i].count += n;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+    uint64_t off = arena.size();
+    arena.insert(arena.end(), p, p + len);
+    slots[i] = Entry{h, off, len, n};
+    ++used;
+  }
+
+  // Steal the biggest partial map instead of re-inserting it.
+  void swap_from_largest(std::vector<CountMap>& parts) {
+    size_t best = parts.size(), best_used = 0;
+    for (size_t i = 0; i < parts.size(); ++i)
+      if (parts[i].used >= best_used) {
+        best_used = parts[i].used;
+        best = i;
+      }
+    if (best < parts.size()) {
+      slots.swap(parts[best].slots);
+      arena.swap(parts[best].arena);
+      used = parts[best].used;
+      parts[best].slots.clear();
+      parts[best].arena.clear();
+      parts[best].used = 0;
+    }
+  }
+};
+
+// Per-sample dedup set: epoch-stamped open addressing over (ptr, len)
+// candidates pointing into the live sample buffer (exact compare, no
+// copies, O(1) clear by bumping the epoch).
+struct DedupSet {
+  struct Entry {
+    uint64_t hash;
+    const uint8_t* ptr;
+    uint32_t len;
+    uint32_t epoch;
+  };
+  std::vector<Entry> slots;
+  uint32_t epoch = 0;
+  size_t live = 0;
+
+  DedupSet() { slots.assign(1 << 12, Entry{0, nullptr, 0, 0}); }
+
+  void clear() {
+    ++epoch;
+    live = 0;
+  }
+
+  void rehash_grow() {
+    std::vector<Entry> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, Entry{0, nullptr, 0, 0});
+    for (const auto& e : old) {
+      if (e.epoch != epoch || !e.ptr) continue;
+      size_t mask = slots.size() - 1;
+      size_t i = e.hash & mask;
+      while (slots[i].epoch == epoch && slots[i].ptr) i = (i + 1) & mask;
+      slots[i] = e;
+    }
+  }
+
+  // Returns true if newly inserted.
+  bool insert(const uint8_t* p, uint32_t len) {
+    if (live * 10 >= slots.size() * 7) rehash_grow();
+    uint64_t h = hash_bytes(p, len);
+    size_t mask = slots.size() - 1;
+    size_t i = h & mask;
+    while (slots[i].epoch == epoch && slots[i].ptr) {
+      if (slots[i].hash == h && slots[i].len == len &&
+          std::memcmp(slots[i].ptr, p, len) == 0)
+        return false;
+      i = (i + 1) & mask;
+    }
+    slots[i] = Entry{h, p, len, epoch};
+    ++live;
+    return true;
+  }
+};
+
+int64_t serialize_counts(const CountMap& merged, uint8_t* out_buf,
+                         int64_t cap) {
+  int64_t needed = 0;
+  for (const auto& e : merged.slots)
+    if (e.len) needed += 12 + static_cast<int64_t>(e.len);
+  if (needed > cap) return -1000000000 - needed;
+  int64_t off = 0;
+  for (const auto& e : merged.slots) {
+    if (!e.len) continue;
+    int32_t len = static_cast<int32_t>(e.len);
+    std::memcpy(out_buf + off, &e.count, 8);
+    std::memcpy(out_buf + off + 8, &len, 4);
+    std::memcpy(out_buf + off + 12, merged.arena.data() + e.off, e.len);
+    off += 12 + e.len;
+  }
+  return off;
+}
+
 // Substring candidate counting for vocabulary generation
 // (reference: src/generate.rs:54-139). For every sample, every
 // char-boundary-aligned substring of <= max_token_length bytes whose
@@ -604,7 +757,7 @@ extern "C" int64_t tg_substring_count(
     int32_t start_state, int64_t max_token_length, double insert_probability,
     uint64_t seed, uint8_t* out_buf, int64_t cap, int num_threads) {
   int nt = std::max(1, num_threads);
-  std::vector<std::unordered_map<std::string, int64_t>> partials(nt);
+  std::vector<CountMap> partials(nt);
 
   parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int tix) {
     auto& freq = partials[tix];
@@ -618,7 +771,7 @@ extern "C" int64_t tg_substring_count(
       z = z ^ (z >> 31);
       return (z >> 11) * (1.0 / 9007199254740992.0);
     };
-    std::unordered_set<std::string> sample_tokens;
+    DedupSet sample_tokens;
     for (int64_t i = b; i < e; ++i) {
       const uint8_t* s = data + offsets[i];
       int64_t n = offsets[i + 1] - offsets[i];
@@ -635,34 +788,93 @@ extern "C" int64_t tg_substring_count(
           // End must be a char boundary.
           if (p + l < n && (s[p + l] & 0xC0) == 0x80) continue;
           bool ok = num_states == 0 || dfa_accept[state];
-          if (ok && next_rand() < insert_probability) {
-            sample_tokens.emplace(reinterpret_cast<const char*>(s + p), l);
+          if (ok && next_rand() < insert_probability &&
+              sample_tokens.insert(s + p, static_cast<uint32_t>(l))) {
+            freq.add(s + p, static_cast<uint32_t>(l), 1);
           }
         }
       }
-      for (const auto& tok : sample_tokens) freq[tok] += 1;
     }
   });
 
-  std::unordered_map<std::string, int64_t> merged;
-  for (auto& part : partials)
-    for (auto& kv : part) merged[kv.first] += kv.second;
-
-  int64_t needed = 0;
-  for (auto& kv : merged)
-    needed += 8 + 4 + static_cast<int64_t>(kv.first.size());
-  if (needed > cap) return -1000000000 - needed;
-
-  int64_t off = 0;
-  for (auto& kv : merged) {
-    int64_t count = kv.second;
-    int32_t len = static_cast<int32_t>(kv.first.size());
-    std::memcpy(out_buf + off, &count, 8);
-    std::memcpy(out_buf + off + 8, &len, 4);
-    std::memcpy(out_buf + off + 12, kv.first.data(), len);
-    off += 12 + len;
+  CountMap merged;
+  merged.swap_from_largest(partials);
+  for (auto& part : partials) {
+    for (const auto& e : part.slots)
+      if (e.len) merged.add(part.arena.data() + e.off, e.len, e.count);
+    part.slots.clear();
+    part.arena.clear();
   }
-  return off;
+  return serialize_counts(merged, out_buf, cap);
+}
+
+// Extraction + document-frequency counting for a DEVICE-computed
+// candidate mask (ops/dfa_device.py): the TPU evaluates allow-DFA,
+// char-boundary, sample-extent, and insert-probability conditions as a
+// dense bit-packed mask over packed rows; this drains the sparse
+// survivors without materializing Python string objects.
+//
+// rows:     (B, W) packed corpus bytes (samples may be split across
+//           rows with an L-1-byte lookahead copy; see utils/packing
+//           pack_feed — token bytes are contiguous within a row).
+// maskbits: (B, L, W/8) little-endian bits; bit p of byte p/8 set =>
+//           substring rows[b][p : p+l+1] is a passing candidate.
+// spans:    n_spans records (row, start, body, sid): candidate starts
+//           live in [start, start+body) of `row`; sid = original
+//           sample id. Spans of one sample need not be contiguous;
+//           counting is deduplicated per sid via a sid-partitioned
+//           parallel pass (spans MUST be grouped by sid).
+// Output format matches tg_substring_count.
+extern "C" int64_t tg_mask_count(
+    const uint8_t* rows, int64_t B, int64_t W,
+    const uint8_t* maskbits, int64_t L,
+    const int64_t* span_row, const int64_t* span_start,
+    const int64_t* span_body, const int64_t* span_sid, int64_t n_spans,
+    uint8_t* out_buf, int64_t cap, int num_threads) {
+  int nt = std::max(1, num_threads);
+  std::vector<CountMap> partials(nt);
+
+  // Sample boundaries in the (sid-grouped) span list.
+  std::vector<int64_t> sample_begin;
+  for (int64_t i = 0; i < n_spans; ++i)
+    if (i == 0 || span_sid[i] != span_sid[i - 1]) sample_begin.push_back(i);
+  sample_begin.push_back(n_spans);
+  int64_t n_groups = static_cast<int64_t>(sample_begin.size()) - 1;
+  const int64_t wbytes = W / 8;
+
+  parallel_for(n_groups, num_threads, [&](int64_t gb, int64_t ge, int tix) {
+    auto& freq = partials[tix];
+    DedupSet sample_tokens;
+    for (int64_t g = gb; g < ge; ++g) {
+      sample_tokens.clear();
+      for (int64_t si = sample_begin[g]; si < sample_begin[g + 1]; ++si) {
+        const int64_t r = span_row[si];
+        const int64_t p0 = span_start[si];
+        const int64_t p1 = p0 + span_body[si];
+        const uint8_t* row = rows + r * W;
+        for (int64_t l = 0; l < L; ++l) {
+          const uint8_t* mrow = maskbits + (r * L + l) * wbytes;
+          for (int64_t p = p0; p < p1; ++p) {
+            if (mrow[p >> 3] & (1u << (p & 7))) {
+              if (sample_tokens.insert(row + p,
+                                       static_cast<uint32_t>(l + 1)))
+                freq.add(row + p, static_cast<uint32_t>(l + 1), 1);
+            }
+          }
+        }
+      }
+    }
+  });
+
+  CountMap merged;
+  merged.swap_from_largest(partials);
+  for (auto& part : partials) {
+    for (const auto& e : part.slots)
+      if (e.len) merged.add(part.arena.data() + e.off, e.len, e.count);
+    part.slots.clear();
+    part.arena.clear();
+  }
+  return serialize_counts(merged, out_buf, cap);
 }
 
 }  // extern "C"

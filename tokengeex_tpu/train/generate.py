@@ -254,8 +254,11 @@ class VocabularyGenerator:
 
     def generate(self, size: int) -> List[ScoredToken]:
         """reference: src/generate.rs:148-234."""
+        # Tie-break equal frequencies on token text: the reference sorts a
+        # HashMap iteration (unspecified tie order, generate.rs:150-151);
+        # a total order keeps our output stable across feed backends.
         frequent = sorted(
-            self.frequencies.items(), key=lambda kv: (-kv[1],)
+            self.frequencies.items(), key=lambda kv: (-kv[1], kv[0])
         )
         seen = set()
         highest_freq = frequent[0][1] if frequent else 1
