@@ -167,6 +167,25 @@ def test_prune_end_to_end():
     assert count_bytes == 255
 
 
+def test_prune_stall_terminates():
+    # When every surviving token is always-keep (sole cover for some
+    # position), prune_vocab is the identity and the reference's outer
+    # loop (src/prune.rs:24) would spin forever; ours must stop and
+    # return the best achievable vocabulary.
+    samples = _code_corpus()
+    gen = VocabularyGenerator(max_token_length=8, insert_probability=1.0,
+                              allow=r"^ ?[a-z]+$", seed=3)
+    gen.feed([s.decode() for s in samples])
+    model = Model(gen.generate(400))
+    pruner = VocabularyPruner(vocab_size=4, shrink_factor=0.8,
+                              em_subiters=1, dropout=0.0, backend="native")
+    model = pruner.prune(model, samples)  # must terminate
+    assert model.vocab_size() > 4  # stalled at the always-keep floor
+    for s in samples[:3]:
+        ids = model.encode(s.decode())
+        assert model.decode(ids) == s.decode()
+
+
 def test_prune_em_improves_likelihood():
     samples = _code_corpus()
     gen = VocabularyGenerator(max_token_length=8, insert_probability=1.0,

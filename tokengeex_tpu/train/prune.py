@@ -138,8 +138,21 @@ class VocabularyPruner:
                 )
                 model = Model(vocab)
 
+            before = model.vocab_size()
             vocab = self.prune_vocab(model, samples)
             model = Model(vocab)
+            if model.vocab_size() >= before:
+                # Every surviving token is always-keep (sole cover for
+                # some corpus position): no round can shrink further.
+                # The reference spins forever here (src/prune.rs:24 —
+                # the while loop re-runs an identity prune); stop with
+                # the best achievable vocabulary instead.
+                log.warning(
+                    "pruning stalled at vocab_size=%d (target %d): all "
+                    "remaining tokens are always-keep; stopping",
+                    model.vocab_size(), self.vocab_size,
+                )
+                break
             rounds += 1
             if checkpoint_cb is not None:
                 checkpoint_cb(model, rounds)
