@@ -217,6 +217,44 @@ def main():
             f"{emc_rate/1e6:.1f} MB/s "
             f"({1e9/emc_rate:.1f} s/GB per cached EM sub-iteration)")
 
+        # Scatter-free session path: static sorted-hit structure built
+        # once from the cached slots (what DeviceTrainSession uses).
+        t0 = time.time()
+        seg = lj.build_seg_struct(slots, lj.seg_nbins(dt, jnp.float32))
+        jax.block_until_ready(seg.perm[0])
+        log(f"seg struct build: {time.time()-t0:.1f}s "
+            f"({seg.nbytes()/1e6:.0f} MB)")
+
+        @jax.jit
+        def estep_segsum(p1, p2, sid, is_start, is_end, end_index,
+                         rinv1, rinv2, slot_rows, slots, seg):
+            b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
+                               is_end=is_end, end_index=end_index,
+                               rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
+            score = lj.score_from_slots(slot_rows, slots, jnp.float32)
+            A = lj.forward(dt, b, C=Cc, unroll=8, dtype=jnp.float32,
+                           backend=kernel, cache=(score, slots))
+            Bt = lj.backward_betas(dt, b, C=Cc, unroll=8,
+                                   dtype=jnp.float32,
+                                   cache=(score, slots))
+            return A, lj.segsum_expected(dt, b, A, Bt, seg, slot_rows)
+
+        sargs = cargs + (seg,)
+        t0 = time.time()
+        out = estep_segsum(*sargs)
+        jax.block_until_ready(out)
+        log(f"estep segsum compile+first: {time.time()-t0:.1f}s")
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            out = estep_segsum(*sargs)
+            jax.block_until_ready(out)
+            runs.append(time.time() - t0)
+        ems_rate = total_bytes / min(runs)
+        log(f"estep segsum steady: {min(runs):.3f}s -> "
+            f"{ems_rate/1e6:.1f} MB/s "
+            f"({1e9/ems_rate:.1f} s/GB per session EM sub-iteration)")
+
     vs = (dev_rate / nat_rate) if nat_rate else 0.0
     print(json.dumps({
         "metric": f"viterbi_encode_bytes_per_s_{platform}",

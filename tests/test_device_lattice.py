@@ -135,6 +135,44 @@ def test_expected_counts_match_oracle():
     np.testing.assert_allclose(expected_dev, expected_ref, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("dropout", [0.0, 0.3])
+def test_segsum_matches_scatter_backward(dropout):
+    # Scatter-free (sorted-hit segmented-scan) expected counts must
+    # equal the fused scatter path, with and without dropout.
+    vocab, samples, oracle, dt, packed, batch = _setup(
+        seed=11, dtype=jnp.float32)
+    score, slots = lj.match_cache(dt, batch, C=32, dtype=jnp.float32)
+    drop_u = None
+    if dropout > 0.0:
+        key = jax.random.PRNGKey(3)
+        drop_u = jax.random.randint(
+            key, (batch.p1.shape[0], batch.sid.shape[1]),
+            minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32)
+    A = lj.forward(dt, batch, C=32, dtype=jnp.float32,
+                   cache=(score, slots), drop_u=drop_u, dropout=dropout)
+    legacy = lj.backward_expected(
+        dt, batch, A, C=32, dtype=jnp.float32, cache=(score, slots),
+        drop_u=drop_u, dropout=dropout)
+    Bt = lj.backward_betas(
+        dt, batch, C=32, dtype=jnp.float32, cache=(score, slots),
+        drop_u=drop_u, dropout=dropout)
+    seg = lj.build_seg_struct(slots, lj.seg_nbins(dt, jnp.float32))
+    got = lj.segsum_expected(
+        dt, batch, A, Bt, seg, lj.slot_score_rows(dt),
+        drop_u=drop_u, dropout=dropout, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(legacy), rtol=2e-4, atol=2e-4)
+    # And through the fold, against the oracle when dropout is off.
+    if dropout == 0.0:
+        expected_ref = [0.0] * len(vocab)
+        for s in samples:
+            lat = Lattice(s)
+            oracle.populate_nodes(lat, 0.0)
+            lat.populate_marginal(expected_ref)
+        np.testing.assert_allclose(
+            lj.fold_expected(dt, got), expected_ref, rtol=2e-3, atol=2e-3)
+
+
 def test_packed_boundaries_are_independent():
     # Two different packings of the same samples must give identical
     # expected counts (boundary resets isolate samples).

@@ -112,6 +112,37 @@ def test_pruner_device_backend_uses_session(setup):
         assert m2.decode_bytes(i) == s
 
 
+def test_session_segsum_single_device(setup):
+    # Single-device sessions use the scatter-free segsum count path;
+    # results must match the mesh/legacy session and stay consistent
+    # across a rescoring rebind (static structure reused).
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    e_mesh = sess.e_step(model, 0.0, 0)
+    assert not sess.seg_cache  # mesh path does not build seg structs
+
+    single = DeviceTrainSession(model, samples, max_snippet=256)
+    single.use_mesh = False
+    single.n_dev = 1
+    single.row_mult = 1
+    e1 = single.e_step(model, 0.0, 0)
+    assert len(single.seg_cache) > 0  # segsum actually engaged
+    np.testing.assert_allclose(e1, e_mesh, rtol=3e-3, atol=1e-3)
+
+    rng = random.Random(5)
+    model2 = Model([t.clone_with_score(t.score - rng.random())
+                    for t in model.vocab])
+    e2 = single.e_step(model2, 0.0, 0)
+    want, _ = model2.native().estep(samples, max_snippet=256)
+    np.testing.assert_allclose(e2, want, rtol=3e-3, atol=1e-3)
+
+    # Dropout through segsum matches the legacy (non-session) stream.
+    ed_leg = ed.run_e_step_device(model, samples, dropout=0.3,
+                                  max_snippet=256, seed=5)
+    e_drop = single.e_step(model, 0.3, 5)
+    np.testing.assert_allclose(e_drop, ed_leg, rtol=5e-4, atol=5e-4)
+
+
 def test_session_dropout_matches_legacy(setup):
     # Same seed => same per-group drop_u stream => identical expected
     # counts whether dropout is baked into the probe (legacy) or applied

@@ -1096,6 +1096,277 @@ def backward_expected(
     return expected[:nbins]
 
 
+def backward_betas(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    C: int = 256,
+    unroll: int = 16,
+    dtype=jnp.float32,
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    probe: Optional[str] = None,
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """(B, W+1) log-beta per dp index — the backward recurrence of
+    backward_expected() materialized, WITHOUT marginals or scatters
+    (reference: src/lattice.rs:245-312 computes the same
+    backward_scores array). Values are post sample-end reset: a token
+    ending at p reads exactly the beta the fused path would have used.
+    Feeds segsum_expected()."""
+    B = batch.p1.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    assert W % C == 0
+    nchunks = W // C
+    mode = probe or _probe_mode(tbl, dtype)
+    is_end_steps = batch.is_end[:, :W]
+
+    def chunk_body(hist, chunk_idx_rev):
+        chunk_idx = (nchunks - 1) - chunk_idx_rev
+        chunk_start = chunk_idx * C
+        if cache is not None:
+            score_s = jax.lax.dynamic_slice(
+                cache[0], (0, 0, chunk_start), (B, L, C))
+            if drop_u is not None and dropout > 0.0:
+                keep = _dropout_keep_window(drop_u, dropout, L, batch.pad,
+                                            chunk_start, C)
+                score_s = jnp.where(keep, score_s,
+                                    jnp.array(NEG_INF, score_s.dtype))
+        else:
+            score_s, _aux = _match_slab(
+                tbl, batch, chunk_start, C, L, drop_u, dropout, dtype,
+                mode=mode
+            )
+        ends = jax.lax.dynamic_slice(is_end_steps, (0, chunk_start), (B, C))
+
+        def step(h, xs):
+            s, is_e = xs  # (B, L), (B,)
+            # h[:, j] = Bwd[p + 1 + j]; token length l=j+1 ends at p+l.
+            b_p = _lse(s + h, axis=1)
+            b_p = jnp.where(is_e, jnp.zeros_like(b_p), b_p)
+            h = jnp.concatenate([b_p[:, None], h[:, : L - 1]], axis=1)
+            return h, b_p
+
+        xs = (
+            jnp.moveaxis(score_s, 2, 0)[::-1],
+            jnp.moveaxis(ends, 1, 0)[::-1],
+        )
+        hist, b_rev = jax.lax.scan(step, hist, xs, unroll=min(unroll, C))
+        return hist, b_rev  # (C, B): positions descending within chunk
+
+    hist0 = jnp.full((B, L), NEG_INF, dtype=dtype)
+    bW = jnp.where(batch.is_end[:, W], 0.0, NEG_INF).astype(dtype)
+    hist0 = hist0.at[:, 0].set(bW)
+    _, stacked = jax.lax.scan(chunk_body, hist0, jnp.arange(nchunks))
+    # (nchunks, C, B): chunks last-to-first, positions descending.
+    bt = jnp.moveaxis(stacked[::-1, ::-1], 2, 0).reshape(B, W)
+    return jnp.concatenate([bt, bW[:, None]], axis=1)
+
+
+def seg_nbins(tbl: DeviceTables, dtype) -> int:
+    """Slot-space size of the default f32 probe (segsum bin count)."""
+    mode = _probe_mode(tbl, dtype)
+    return tbl.bk_num_slots if mode == "bucket" else tbl.num_slots
+
+
+@dataclasses.dataclass(frozen=True)
+class SegStruct:
+    """Per-length sorted-hit structure for scatter-free EM counts.
+
+    Built ONCE per row group from the session's cached (dropout-free)
+    slot arrays — the (position, length) -> slot matching is static
+    while the vocabulary only shrinks (TokenTable.rebind). Per length
+    row l0 (token length l0+1):
+
+      perm:    (L, B*W) int32 — flat positions sorted by slot (misses,
+               slot == nbins, sort to the tail and are never read)
+      pre_pos: (L, nbins) int32 — sorted index JUST BEFORE the slot's
+               segment (its prefix subtracts out), or B*W (a zero pad
+               cell) when the segment starts at 0 or the slot is absent
+      end_pos: (L, nbins) int32 — index of the segment's LAST element,
+               or B*W for slots absent at this length
+      n_hit:   (L,) int32 — number of real hits; sorted entries past it
+               are misses whose gathered [alpha-Z, beta] rows are
+               finite garbage and must weigh 0
+    """
+
+    perm: jax.Array
+    pre_pos: jax.Array
+    end_pos: jax.Array
+    n_hit: jax.Array
+
+    def nbytes(self) -> int:
+        return int(self.perm.size) * 4 + int(self.pre_pos.size) * 4 \
+            + int(self.end_pos.size) * 4
+
+    @staticmethod
+    def est_bytes(B: int, L: int, W: int, nbins: int) -> int:
+        return L * (B * W * 4 + nbins * 8)
+
+
+jax.tree_util.register_pytree_node(
+    SegStruct,
+    lambda s: ((s.perm, s.pre_pos, s.end_pos, s.n_hit), None),
+    lambda _, c: SegStruct(*c),
+)
+
+# Block length of the segsum interval decomposition. 128 divides every
+# B*W (width is a multiple of 128) and bounds the f32 in-block prefix
+# error to ulp(128 * max element) — segment sums never accumulate
+# through other segments beyond one block's worth of neighbors.
+SEG_BLK = 128
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _seg_sort_one(slots_flat, nbins):
+    perm = jnp.argsort(slots_flat)
+    sorted_slots = jnp.take(slots_flat, perm)
+    # ss[s] = first sorted index with slot >= s; integer slots make
+    # ss[s+1] the one-past-the-end of segment s.
+    ss = jnp.searchsorted(
+        sorted_slots, jnp.arange(nbins + 1, dtype=sorted_slots.dtype))
+    present = ss[1:] > ss[:-1]
+    pad = slots_flat.shape[0]
+    pre_pos = jnp.where(present & (ss[:-1] > 0), ss[:-1] - 1,
+                        pad).astype(jnp.int32)
+    end_pos = jnp.where(present, ss[1:] - 1, pad).astype(jnp.int32)
+    return perm.astype(jnp.int32), pre_pos, end_pos, ss[nbins].astype(jnp.int32)
+
+
+def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
+    """Sort each length-plane of a cached (B, L, W) slot array by slot
+    (device-side; one argsort per length, amortized over every later
+    E-step pass of the session)."""
+    B, L, W = slots.shape
+    perms, pres, ends, nhits = [], [], [], []
+    for l0 in range(L):
+        p, b, e, n = _seg_sort_one(slots[:, l0, :].reshape(-1), nbins)
+        perms.append(p)
+        pres.append(b)
+        ends.append(e)
+        nhits.append(n)
+    return SegStruct(jnp.stack(perms), jnp.stack(pres), jnp.stack(ends),
+                     jnp.stack(nhits))
+
+
+def _interval_sums(w: jax.Array, pre_pos: jax.Array,
+                   end_pos: jax.Array, dtype) -> jax.Array:
+    """Per-interval sums w[pre+1 ... end] over STATIC disjoint intervals
+    of a (BW,) array, scatter-free and scan-free at full length:
+
+      blocks of SEG_BLK -> in-block inclusive cumsums (one vector op)
+      + a compensated (TwoSum) exclusive prefix over the tiny block-
+      totals array. An interval sum is then three benign differences:
+      in-block edge pieces (error <= ulp of ONE block's total) plus a
+      correctly-rounded difference of compensated block prefixes —
+      no full-length scan graph (the 8M-element associative_scan this
+      replaces took the remote XLA compiler tens of minutes) and no
+      global-magnitude cancellation."""
+    BW = w.shape[0]
+    nblk = BW // SEG_BLK
+    c = jnp.cumsum(w.reshape(nblk, SEG_BLK), axis=1)
+    t = c[:, -1]
+
+    def comb(x, y):
+        hx, lx = x
+        hy, ly = y
+        s = hx + hy
+        z = s - hx
+        err = (hx - (s - z)) + (hy - z)
+        return s, err + lx + ly
+
+    hi_inc, lo_inc = jax.lax.associative_scan(comb, (t, jnp.zeros_like(t)))
+    zero = jnp.zeros((1,), dtype)
+    # Exclusive prefixes, padded so index nblk (the BW pad cell's block)
+    # reads 0.
+    hip = jnp.concatenate([zero, hi_inc[:-1], zero])
+    lop = jnp.concatenate([zero, lo_inc[:-1], zero])
+    cf = jnp.concatenate([c.reshape(-1), zero])
+
+    be = end_pos // SEG_BLK
+    bb = pre_pos // SEG_BLK
+    return (
+        (jnp.take(hip, be) - jnp.take(hip, bb))
+        + (jnp.take(lop, be) - jnp.take(lop, bb))
+        + (jnp.take(cf, end_pos) - jnp.take(cf, pre_pos))
+    )
+
+
+def segsum_expected(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    A: jax.Array,   # (B, W+1) from forward()
+    Bt: jax.Array,  # (B, W+1) from backward_betas()
+    seg: SegStruct,
+    slot_rows: jax.Array,  # slot_score_rows(tbl)
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Scatter-free expected counts over a seg-sorted static hit set.
+
+    Replaces backward_expected()'s scatter-add (the 0.145 G elem/s
+    HBM wall, experiments/perf_probe5.py) for cached-slot sessions:
+    the marginal exp(A[p] + score + Bt[p+l] - Z[p]) factors as
+    exp(score[slot]) * exp(A[p] + Bt[p+l] - Z[p]), so per-slot sums
+    reduce with ONE row gather per probe point (hit rows of a dense
+    [A-Z, Bt'] table, 2.8x cheaper than word scatters) + a segmented
+    scan that resets at slot boundaries (each segment accumulates at
+    its own scale — no global-prefix cancellation), then one dense
+    exp(score) multiply per slot. Same (nbins,) contract as
+    backward_expected (reference: src/lattice.rs:245-312)."""
+    B = A.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    nbins = seg_nbins(tbl, dtype)
+    BW = B * W
+
+    Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
+    Z = jnp.where(jnp.isfinite(Z) & (Z > -1e37), Z, 0.0).astype(dtype)
+    a = A[:, :W].astype(dtype)
+    # A[p] at a boundary stores the PREVIOUS sample's total (pre-reset);
+    # tokens starting at p belong to the next sample (forward value 0).
+    a = jnp.where(batch.is_start[:, :W], jnp.zeros_like(a), a)
+    col1 = a - Z
+    btp = jnp.pad(Bt.astype(dtype), ((0, 0), (0, L)),
+                  constant_values=NEG_INF)  # (B, W+1+L)
+
+    use_drop = drop_u is not None and dropout > 0.0
+    if use_drop:
+        drop_base = jax.lax.dynamic_slice(
+            drop_u, (0, batch.pad), (drop_u.shape[0], W))
+        threshold = np.int32(np.uint32(
+            min(int(dropout * (1 << 32)), (1 << 32) - 1)).view(np.int32))
+        tt = jax.lax.shift_right_logical(
+            jnp.full_like(drop_base, threshold), jnp.int32(1))
+    odds = jnp.asarray(
+        ((np.arange(1, L + 1, dtype=np.int64) * 2654435761) % (1 << 32))
+        .astype(np.uint32).view(np.int32))
+
+    def length_body(acc, xs):
+        l0, odd, perm_l, pre_l, end_l, n_hit_l = xs
+        beta_l = jax.lax.dynamic_slice(btp, (jnp.int32(0), l0 + 1), (B, W))
+        if use_drop:
+            u = jax.lax.shift_right_logical(drop_base * odd, jnp.int32(1))
+            keep = ~((u < tt) & (l0 > 0))
+            beta_l = jnp.where(keep, beta_l, jnp.array(NEG_INF, dtype))
+        T = jnp.stack([col1, beta_l], axis=-1).reshape(BW, 2)
+        rows = jnp.take(T, perm_l, axis=0)
+        w = jnp.exp(rows[:, 0] + rows[:, 1])
+        # Zero the miss tail: its gathered rows are finite garbage and
+        # the last real segment can share a SEG_BLK block with it.
+        w = jnp.where(jnp.arange(BW, dtype=jnp.int32) < n_hit_l, w, 0.0)
+        return acc + _interval_sums(w, pre_l, end_l, dtype), None
+
+    acc, _ = jax.lax.scan(
+        length_body, jnp.zeros((nbins,), dtype),
+        (jnp.arange(L, dtype=jnp.int32), odds,
+         seg.perm, seg.pre_pos, seg.end_pos, seg.n_hit))
+    scores = jax.lax.bitcast_convert_type(
+        slot_rows[:nbins, 0], jnp.float32).astype(dtype)
+    return acc * jnp.exp(scores)
+
+
 def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:
     """Fold a backward_expected() accumulator to per-token counts (V,).
 

@@ -69,6 +69,10 @@ class DeviceTrainSession:
         self.cache_budget = cache_budget
         self.cache_used = 0
         self.slot_cache: Dict[int, object] = {}
+        # Scatter-free EM count structures (ops.lattice_jax.SegStruct),
+        # one per slot-cached group; shares the slot-cache budget.
+        self.seg_cache: Dict[int, object] = {}
+        self.use_segsum = os.environ.get("TGX_SEGSUM", "1") != "0"
         # Compact batch inputs (~3 B per corpus byte) cached on device:
         # host->device corpus transfer happens once per session.
         self.input_cache: Dict[int, tuple] = {}
@@ -170,6 +174,27 @@ class DeviceTrainSession:
             self.cache_used += size
         return score, slots
 
+    def _seg_for(self, gi: int, slots):
+        """SegStruct for a slot-cached group (built once, reused by
+        every E-step pass; slots are static across rebinds)."""
+        import jax.numpy as jnp
+
+        if gi in self.seg_cache:
+            return self.seg_cache[gi]
+        if (not self.use_segsum or self.use_mesh
+                or self.dtype == jnp.float64
+                or gi not in self.slot_cache):
+            return None
+        B, L, W = slots.shape
+        nbins = lj.seg_nbins(self.dt, self.dtype)
+        est = lj.SegStruct.est_bytes(B, L, W, nbins)
+        if self.cache_used + est > self.cache_budget:
+            return None
+        seg = lj.build_seg_struct(slots, nbins)
+        self.seg_cache[gi] = seg
+        self.cache_used += seg.nbytes()
+        return seg
+
     def _apply_dropout(self, score, batch, dropout: float, drop_u):
         import jax.numpy as jnp
 
@@ -217,10 +242,20 @@ class DeviceTrainSession:
                                dtype=self.dtype, backend=self.kernel,
                                cache=(score, slots), drop_u=drop_u,
                                dropout=dropout)
-                exp_g = lj.backward_expected(
-                    self.dt, batch, A, C=self.chunk, dtype=self.dtype,
-                    backend=self.kernel, cache=(score, slots),
-                    drop_u=drop_u, dropout=dropout)
+                seg = self._seg_for(gi, slots)
+                if seg is not None:
+                    Bt = lj.backward_betas(
+                        self.dt, batch, C=self.chunk, dtype=self.dtype,
+                        cache=(score, slots), drop_u=drop_u,
+                        dropout=dropout)
+                    exp_g = lj.segsum_expected(
+                        self.dt, batch, A, Bt, seg, self.slot_rows,
+                        drop_u=drop_u, dropout=dropout, dtype=self.dtype)
+                else:
+                    exp_g = lj.backward_expected(
+                        self.dt, batch, A, C=self.chunk, dtype=self.dtype,
+                        backend=self.kernel, cache=(score, slots),
+                        drop_u=drop_u, dropout=dropout)
             # Keep everything on device; sync every other group so at
             # most ~2 groups of intermediates are in flight (the host
             # still preps group g+1 while group g computes) — unbounded
