@@ -173,9 +173,20 @@ class VocabularyGenerator:
         self.frequencies.update(extra)
 
     def _feed_device(self, samples: Sequence[str]):
-        """TPU DFA-kernel candidate enumeration (ops/dfa_device.py);
-        None when no accelerator is present (the C++ path wins on
-        CPU-only hosts)."""
+        """TPU DFA-kernel candidate enumeration (ops/dfa_device.py).
+
+        Opt-in via TGX_DEVICE_FEED=1: the device computes the dense
+        candidate mask, but the host must then unpack it (L/8 bytes per
+        padded corpus byte back over the host link) and set-dedup the
+        survivors in Python — measured 0.01 MB/s over the dev tunnel vs
+        ~40 MB/s for the threaded C++ DFA counter on the same corpus,
+        and the host-side dedup caps the device path even on fast
+        links. The kernel stays for merge allow batch-checks and as the
+        pod-scale building block (SURVEY.md section 7.6)."""
+        import os
+
+        if os.environ.get("TGX_DEVICE_FEED", "0") != "1":
+            return None
         try:
             import jax
 
