@@ -14,6 +14,7 @@ Output: one JSON object per stage on stdout + a summary object.
 """
 
 import json
+import logging
 import os
 import sys
 import time
@@ -21,6 +22,14 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Surface per-round Task telemetry (%/ETA/MB/s) on stderr; without this
+# the prune stage runs silently for its whole duration.
+logging.basicConfig(
+    level=os.environ.get("TOKENGEEX_LOG", "info").upper(),
+    format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    stream=sys.stderr,
+)
 
 
 def log(*a):
