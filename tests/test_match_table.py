@@ -19,18 +19,19 @@ from tokengeex_tpu.ops import lattice_jax as lj
 
 
 def _entry_key(tokens, bits):
-    """(idx1 << 16 | fp2_hi16) per token — the EM-probe cluster key."""
+    """(idx1 << 32 | fp2) per token — the fast-probe shadow cluster key
+    (a t1 resident with the same idx1 and full fp2 shadows a t2
+    entry)."""
     by = {t: i for i, t in enumerate(tokens)}
     fp1, fp2, lens, _ = mt._entry_arrays(by, max(map(len, tokens)))
     idx1 = H.host_table_index(fp1, lens, H.IDX_A1, H.IDX_M1, bits)
-    return (idx1.astype(np.uint64) << np.uint64(16)) | \
-        (fp2.astype(np.uint64) >> np.uint64(16))
+    return (idx1.astype(np.uint64) << np.uint64(32)) | fp2.astype(np.uint64)
 
 
-def _find_em_collision_pair(bits=8, length=6):
-    """Brute-force two distinct tokens sharing (idx1, fp2-hi16)."""
+def _find_shadow_collision_pair(bits=8, length=6):
+    """Brute-force two distinct tokens sharing (idx1, full fp2)."""
     rng = np.random.default_rng(0)
-    raw = rng.integers(97, 123, size=(1 << 15, length), dtype=np.uint8)
+    raw = rng.integers(97, 123, size=(1 << 22, length), dtype=np.uint8)
     toks = list({bytes(r) for r in raw})
     keys = _entry_key(toks, bits)
     order = np.argsort(keys)
@@ -47,8 +48,8 @@ def _vocab_bytes(vocab):
     return out
 
 
-def test_build_repairs_em_shadowing():
-    a, b = _find_em_collision_pair()
+def test_build_repairs_fast_shadowing():
+    a, b = _find_shadow_collision_pair()
     fillers = [bytes([97 + i]) * 2 for i in range(8)]
     vocab = [ScoredToken(v, -5.0) for v in fillers]
     vocab += [ScoredToken(a, -4.0), ScoredToken(b, -4.5)]

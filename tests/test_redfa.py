@@ -188,3 +188,33 @@ def test_device_feed_candidates_match_python():
             g._feed_part(text, want)
             got_str = {c.decode("utf-8") for c in got}
             assert got_str == want, (allow, text)
+
+
+def test_device_feed_native_mask_drain_matches_sets():
+    # The native tg_mask_count drain must produce exactly the
+    # per-sample-deduplicated document frequencies of the set drain
+    # (p=1.0 -> deterministic mask). Repeated substrings inside one
+    # sample ("ababab") count once per sample.
+    from collections import Counter
+
+    from tokengeex_tpu.ops.dfa_device import (feed_candidates_device,
+                                              feed_counts_device)
+    from tokengeex_tpu.utils import nativelib
+
+    if nativelib.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    texts = ["ababab", "abc de 12", " xyz", "héllo wörld",
+             "mixed 中文 ascii", "abc de 12"]
+    samples = [t.encode() for t in texts]
+    from tokengeex_tpu.core.redfa import compile_dfa
+
+    for allow in (r"^ ?[a-z]+$", None):
+        dfa = compile_dfa(allow) if allow else None
+        counts = feed_counts_device(dfa, samples, 6, 1.0, seed=0)
+        want: Counter = Counter()
+        for cset in feed_candidates_device(dfa, samples, 6, 1.0, seed=0):
+            want.update({c.decode("utf-8") for c in cset})
+        assert counts == want, allow

@@ -70,6 +70,46 @@ def test_generate_special_token_counting_per_sample():
     assert g2.frequencies["zq"] == 2
 
 
+def test_feed_special_native_overlapping_coin_count():
+    # The native-path emulation must flip one coin per NON-OVERLAPPING
+    # special-path occurrence plus one per OVERLAPPING substring-path
+    # occurrence (the candidate scan visits every start position), with
+    # break-on-success. "aa" in "aaaa": 2 + 3 = 5 coins.
+    class FailCoin:
+        def __init__(self):
+            self.calls = 0
+
+        def random(self):
+            self.calls += 1
+            return 0.99  # > p: never insert
+
+    g = VocabularyGenerator(max_token_length=3, insert_probability=0.5,
+                            added_tokens=["aa"], seed=0)
+    g._rng = coin = FailCoin()
+    g._feed_special_native(["aaaa"])
+    assert coin.calls == 5
+    assert g.frequencies["aa"] == 0
+
+    # Ineligible for the substring path (too long): special-path coins
+    # only, non-overlapping.
+    g2 = VocabularyGenerator(max_token_length=1, insert_probability=0.5,
+                             added_tokens=["aa"], seed=0)
+    g2._rng = coin2 = FailCoin()
+    g2._feed_special_native(["aaaa"])
+    assert coin2.calls == 2
+
+    # Success breaks out: at most +1 per sample.
+    class WinCoin:
+        def random(self):
+            return 0.0
+
+    g3 = VocabularyGenerator(max_token_length=3, insert_probability=0.5,
+                             added_tokens=["aa"], seed=0)
+    g3._rng = WinCoin()
+    g3._feed_special_native(["aaaa", "aa", "bb"])
+    assert g3.frequencies["aa"] == 2
+
+
 def test_generate_absent_added_token_raises():
     # reference: src/generate.rs:186 panics when an added/suggested
     # token was never counted during feed.

@@ -118,6 +118,50 @@ def candidate_mask_device(
     return allowed & coin & inside_start[:, None, :] & end_ok
 
 
+def _mask_groups(
+    dfa: ByteDFA,
+    samples: Sequence[bytes],
+    max_len: int,
+    insert_probability: float,
+    seed: int,
+    group_bytes: int,
+):
+    """Yield (g0, chunk, rows, lens, packed_mask_bytes) per row group.
+
+    The device computes the dense candidate mask and bit-packs it (the
+    host link sees L/8 bytes per corpus byte instead of L bools); the
+    trailing group is padded so ONE compiled shape serves all groups."""
+    import jax
+    import jax.numpy as jnp
+
+    ddfa = DeviceDFA.from_byte_dfa(dfa) if dfa is not None else None
+    W = max((len(s) for s in samples), default=1)
+    W8 = -(-W // 8) * 8
+    rows_per_group = max(1, group_bytes // max(W8, 1))
+
+    @jax.jit
+    def packed_mask(arr, lens, seed_s):
+        mask = candidate_mask_device(ddfa, arr, lens, max_len,
+                                     insert_probability, seed_s)
+        B = arr.shape[0]
+        m = mask.reshape(B, max_len, W8 // 8, 8)
+        weights = (1 << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
+        return (m.astype(jnp.uint32) * weights).sum(
+            axis=-1).astype(jnp.uint8)
+
+    for g0 in range(0, len(samples), rows_per_group):
+        chunk = samples[g0 : g0 + rows_per_group]
+        B = rows_per_group if len(samples) > rows_per_group else len(chunk)
+        arr = np.zeros((B, W8), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        for i, s in enumerate(chunk):
+            arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            lens[i] = len(s)
+        packed = packed_mask(jnp.asarray(arr), jnp.asarray(lens),
+                             jnp.uint32(seed + g0))
+        yield g0, chunk, arr, lens, np.asarray(packed)
+
+
 def feed_candidates_device(
     dfa: ByteDFA,
     samples: Sequence[bytes],
@@ -129,45 +173,55 @@ def feed_candidates_device(
     """Per-sample sets of passing candidate substrings (the generate
     feed's document-frequency units). Device computes the dense mask;
     host extracts the sparse survivors."""
-    import jax.numpy as jnp
-
-    import functools
-
-    import jax
-
-    ddfa = DeviceDFA.from_byte_dfa(dfa) if dfa is not None else None
-    W = max((len(s) for s in samples), default=1)
-    W8 = -(-W // 8) * 8
     out: List[set] = [set() for _ in samples]
-    rows_per_group = max(1, group_bytes // max(W8, 1))
-
-    @jax.jit
-    def packed_mask(arr, lens, seed_s):
-        mask = candidate_mask_device(ddfa, arr, lens, max_len,
-                                     insert_probability, seed_s)
-        # Bit-pack on device: the host link sees L/8 bytes per corpus
-        # byte instead of L bools.
-        B = arr.shape[0]
-        m = mask.reshape(B, max_len, W8 // 8, 8)
-        weights = (1 << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
-        return (m.astype(jnp.uint32) * weights).sum(
-            axis=-1).astype(jnp.uint8)
-
-    # Pad the trailing group so one compiled shape serves all groups.
-    for g0 in range(0, len(samples), rows_per_group):
-        chunk = samples[g0 : g0 + rows_per_group]
-        B = rows_per_group if len(samples) > rows_per_group else len(chunk)
-        arr = np.zeros((B, W8), dtype=np.uint8)
-        lens = np.zeros(B, dtype=np.int32)
-        for i, s in enumerate(chunk):
-            arr[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            lens[i] = len(s)
-        packed = packed_mask(jnp.asarray(arr), jnp.asarray(lens),
-                             jnp.uint32(seed + g0))
-        bits = np.unpackbits(np.asarray(packed), axis=-1,
+    for g0, chunk, arr, lens, packed in _mask_groups(
+            dfa, samples, max_len, insert_probability, seed, group_bytes):
+        B, W8 = arr.shape
+        bits = np.unpackbits(packed, axis=-1,
                              bitorder="little").reshape(B, max_len, W8)
         bs, ls, ps = np.nonzero(bits)
         for b, l, p in zip(bs, ls, ps):
             if b < len(chunk):
                 out[g0 + b].add(chunk[b][p : p + l + 1])
     return out
+
+
+def feed_counts_device(
+    dfa: ByteDFA,
+    samples: Sequence[bytes],
+    max_len: int,
+    insert_probability: float,
+    seed: int,
+    group_bytes: int = 1 << 23,
+):
+    """Document-frequency Counter over passing candidates: the threaded
+    native drain (native/tokengeex_native.cpp tg_mask_count) extracts
+    and per-sample-dedups the mask survivors without materializing a
+    Python object per substring — the host-side cost that otherwise
+    caps the device feed. Falls back to the set drain without the
+    native library. Token keys are str (candidates are char-aligned)."""
+    from collections import Counter
+
+    from ..utils import nativelib
+
+    if nativelib.get_lib() is None:
+        out: Counter = Counter()
+        for cset in feed_candidates_device(dfa, samples, max_len,
+                                           insert_probability, seed,
+                                           group_bytes):
+            out.update({c.decode("utf-8") for c in cset})
+        return out
+
+    counts: Counter = Counter()
+    for g0, chunk, arr, lens, packed in _mask_groups(
+            dfa, samples, max_len, insert_probability, seed, group_bytes):
+        nb = len(chunk)
+        idx = np.arange(nb, dtype=np.int64)
+        counts.update(nativelib.mask_count(
+            arr, packed,
+            span_row=idx,
+            span_start=np.zeros(nb, dtype=np.int64),
+            span_body=lens[:nb].astype(np.int64),
+            span_sid=g0 + idx,  # one span per sample: trivially grouped
+        ))
+    return counts

@@ -300,8 +300,9 @@ def _check_fingerprint_uniqueness(by_bytes: dict, entries) -> None:
 def _shadowed_entries(entries, t1: np.ndarray, t2: np.ndarray,
                       bits: int) -> np.ndarray:
     """Indices of entries that do NOT resolve to their own slot under an
-    exact emulation of the device probes (fast 32-bit check and EM
-    16-bit check; ops/lattice_jax._match_slab)."""
+    exact emulation of the device fast probe (full 32-bit fp2 check;
+    ops/lattice_jax._match_slab — the historical 16-bit "em" probe is
+    gone, so only full-fp2 t1 matches can shadow a t2 entry)."""
     fp1, fp2, lens, _ = entries
     if fp1.size == 0:
         return np.zeros(0, dtype=np.int64)
@@ -317,22 +318,18 @@ def _shadowed_entries(entries, t1: np.ndarray, t2: np.ndarray,
     # Fast probe: t1 match on full fp2 wins; fall through to t2.
     m1_fast = occ1 & (row1[:, 1] == fp2)
     ok_fast = np.where(m1_fast, self1, self2)
-    # EM probe: t1 match on high-16 fp2 bits wins.
-    hi = np.uint32(0xFFFF0000)
-    m1_em = occ1 & ((row1[:, 1] & hi) == (fp2 & hi))
-    ok_em = np.where(m1_em, self1, self2)
-    return np.nonzero(~(ok_fast & ok_em))[0].astype(np.int64)
+    return np.nonzero(~ok_fast)[0].astype(np.int64)
 
 
 def _collision_clusters(entries, bits: int, bad: np.ndarray,
                         pinned: np.ndarray) -> np.ndarray:
-    """Expand shadowed entries to their full (idx1, fp2-hi16) clusters
-    and merge with the already-pinned set. Pinning every member of a
-    cluster into t2 makes the t1 EM check miss for all of them."""
+    """Expand shadowed entries to their full (idx1, fp2) clusters and
+    merge with the already-pinned set. Pinning every member of a
+    cluster into t2 makes the t1 fast check miss for all of them."""
     fp1, fp2, lens, _ = entries
     idx1 = H.host_table_index(fp1, lens, H.IDX_A1, H.IDX_M1, bits)
-    key = (idx1.astype(np.uint64) << np.uint64(16)) | \
-        (fp2.astype(np.uint64) >> np.uint64(16))
+    key = (idx1.astype(np.uint64) << np.uint64(32)) | \
+        fp2.astype(np.uint64)
     bad_keys = np.unique(key[bad])
     members = np.nonzero(np.isin(key, bad_keys))[0].astype(np.int64)
     return np.union1d(pinned, members)

@@ -74,7 +74,9 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     expected-count accumulator (slot-indexed on the fast path; see
     ops.lattice_jax.fold_expected) is psum-reduced and replicated.
     with_cache=True consumes a precomputed (score, slot) match cache
-    (dropout already applied to score) instead of probing.
+    instead of probing; with dropout > 0.0 it also takes a trailing
+    drop_u argument and masks the cached scores per chunk inside the
+    scans (no full-width masked copy is ever materialized).
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -96,7 +98,7 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
         )
         if with_cache:
             cache = (rest.pop(0), rest.pop(0))
-            drop_u = None
+            drop_u = rest.pop(0) if rest else None
         else:
             drop_u = rest.pop(0) if rest else None
             # Probe once; forward and backward share the cache.
@@ -118,7 +120,7 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     in_specs = base_specs
     if with_cache:
         in_specs = in_specs + (P(axis), P(axis))
-    elif dropout > 0.0:
+    if dropout > 0.0:
         in_specs = in_specs + (P(axis),)
     sharded = shard_map(
         local_step,
@@ -294,6 +296,21 @@ def allgather_flag(fail: int) -> int:
 
     arr = multihost_utils.process_allgather(np.asarray([fail], np.int64))
     return int(np.max(arr))
+
+
+def allgather_fail(fail: int, value: float) -> tuple:
+    """allgather_flag plus the detecting process's diagnostic payload:
+    returns (max fail across processes, the value reported by the
+    process holding that max) so the raising processes can show the
+    actual offending number (e.g. a NaN z) instead of their local
+    default."""
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(
+        np.asarray([[float(fail), value]], np.float64))
+    arr = np.asarray(arr).reshape(-1, 2)
+    k = int(np.argmax(arr[:, 0]))
+    return int(arr[k, 0]), float(arr[k, 1])
 
 
 def allgather_pickled(obj) -> list:

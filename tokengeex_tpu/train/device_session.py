@@ -83,6 +83,19 @@ class DeviceTrainSession:
         self._estep_calls = 0
         self._fns: Dict[str, object] = {}
         self._rebind(model)
+        # The session's count structures (slot_rows, SegStruct bins,
+        # backward accumulators) are all sized for the probe mode the
+        # table resolves by default; a different per-probe slot space
+        # would silently misattribute EM counts.
+        default_mode = lj._probe_mode(self.dt, self.dtype)
+        requested = {"em": "fast"}.get(self.probe, self.probe)
+        if requested is not None and requested != default_mode:
+            raise ValueError(
+                f"DeviceTrainSession count structures are sized for the "
+                f"'{default_mode}' probe this table/dtype resolves to; "
+                f"probe={self.probe!r} would use a different slot space. "
+                f"Pass probe=None (per-probe overrides are supported by "
+                f"encode_corpus_device only).")
 
     # -- Model binding ------------------------------------------------------
 
@@ -90,6 +103,7 @@ class DeviceTrainSession:
         if model is self._model:
             return
         tbl = self.base_tbl.rebind(model.vocab)
+        self.tbl = tbl
         self.dt = lj.DeviceTables.from_table(tbl, self.dtype)
         self.slot_rows = lj.slot_score_rows(self.dt)
         self._model = model
@@ -97,7 +111,7 @@ class DeviceTrainSession:
         # for the new binding (single-chip eager path is unaffected).
         self._fns.clear()
 
-    def _mesh_fns(self):
+    def _mesh_fns(self, dropout: float = 0.0):
         import jax  # noqa: F401
 
         from ..parallel import mesh as pmesh
@@ -108,12 +122,19 @@ class DeviceTrainSession:
             self._fns["probe"] = pmesh.sharded_match_cache(
                 self.dt, mesh, width=self.width, chunk=self.chunk,
                 dtype=self.dtype, probe=self.probe)
-            self._fns["estep"] = pmesh.sharded_e_step(
-                self.dt, mesh, width=self.width, chunk=self.chunk,
-                dtype=self.dtype, kernel=self.kernel, with_cache=True)
             self._fns["viterbi"] = pmesh.sharded_viterbi(
                 self.dt, mesh, width=self.width, chunk=self.chunk,
                 dtype=self.dtype, kernel=self.kernel, with_cache=True)
+        # The e-step closure bakes the dropout probability (the mask
+        # threshold is a compile-time constant); one jitted fn per
+        # distinct dropout value used with this binding.
+        ekey = f"estep:{dropout}"
+        if ekey not in self._fns:
+            self._fns[ekey] = pmesh.sharded_e_step(
+                self.dt, self._fns["mesh"], width=self.width,
+                chunk=self.chunk, dtype=self.dtype, kernel=self.kernel,
+                dropout=dropout, with_cache=True)
+        self._fns["estep"] = self._fns[ekey]
         return self._fns
 
     # -- Group machinery ----------------------------------------------------
@@ -195,15 +216,6 @@ class DeviceTrainSession:
         self.cache_used += seg.nbytes()
         return seg
 
-    def _apply_dropout(self, score, batch, dropout: float, drop_u):
-        import jax.numpy as jnp
-
-        if dropout <= 0.0 or drop_u is None:
-            return score
-        keep = lj.dropout_keep_mask(drop_u, dropout, self.L, batch.pad,
-                                    self.width)
-        return jnp.where(keep, score, jnp.array(lj.NEG_INF, score.dtype))
-
     # -- Passes -------------------------------------------------------------
 
     def e_step(self, model: Model, dropout: float, seed: int,
@@ -230,13 +242,14 @@ class DeviceTrainSession:
                 )
             score, slots = self._probe_group(gi, batch)
             if self.use_mesh:
-                # The sharded fns mask per chunk from drop_u; a host-
-                # side full-width masked copy would double the group's
-                # cache footprint.
-                score = self._apply_dropout(score, batch, dropout, drop_u)
-                fns = self._mesh_fns()
-                A, exp_g = fns["estep"](
-                    *(pmesh.batch_to_arrays(batch) + (score, slots)))
+                # The sharded fns mask the cached scores per chunk from
+                # drop_u inside the scans — a full-width masked copy
+                # would double the group's cache footprint.
+                fns = self._mesh_fns(dropout)
+                args = pmesh.batch_to_arrays(batch) + (score, slots)
+                if dropout > 0.0:
+                    args = args + (drop_u,)
+                A, exp_g = fns["estep"](*args)
             else:
                 A = lj.forward(self.dt, batch, C=self.chunk,
                                dtype=self.dtype, backend=self.kernel,
@@ -356,8 +369,14 @@ class DeviceTrainSession:
             drain(pending)
 
         if long_idx:
+            # Same dtype/kernel and the session's rebound table: the
+            # fallback must count at the session's conformance grade
+            # (f64 sessions stay f64) and keep compile shapes pinned
+            # across prune rounds instead of rebuilding per call.
             encoded = ed.encode_corpus_device(
-                model, [self.samples[si] for si in long_idx], task=task)
+                model, [self.samples[si] for si in long_idx], task=task,
+                dtype=self.dtype, kernel=self.kernel, probe=self.probe,
+                table=self.tbl)
             for ids in encoded:
                 if ids:
                     np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)

@@ -215,7 +215,7 @@ def run_e_step_device(
             fail_z = float(z_vals[k])
             break
     if n_proc > 1:
-        fail_si = pmesh.allgather_flag(fail_si)
+        fail_si, fail_z = pmesh.allgather_fail(fail_si, fail_z)
     if fail_si >= 0:
         raise ValueError(
             f"normalization constant is not finite "
@@ -236,6 +236,7 @@ def encode_corpus_device(
     table_hints: Optional[Tuple[int, int]] = None,
     probe: Optional[str] = None,
     max_width: Optional[int] = None,
+    table: Optional[TokenTable] = None,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
@@ -248,10 +249,12 @@ def encode_corpus_device(
     windows with a carried dp tail (byte-exact vs the unchunked
     reference encode — the dp depends only on the last L positions).
 
-    probe="em" is the 2x-throughput turbo mode: scores quantized to
-    ~1e-3 logprob, so segmentations can differ from the reference on
-    near-ties (see DeviceTables docs); default is the parity-grade
-    probe."""
+    probe selects the match-table layout ("bucket"/"fast"/"exact");
+    None resolves the default for the table/dtype. "em" survives as an
+    alias of "fast" for callers of the historical quantized probe —
+    since the row layout made the exact probe equally cheap, every f32
+    mode now gathers exact f32 scores (near-ties can still differ from
+    the f64 reference by f32 rounding alone)."""
     import jax
     import jax.numpy as jnp
 
@@ -260,8 +263,11 @@ def encode_corpus_device(
     if dtype is None:
         dtype = jnp.float32
     kernel = kernel or _default_backend()
-    hb, hl = table_hints or (None, None)
-    tbl = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
+    if table is None:
+        hb, hl = table_hints or (None, None)
+        table = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
+    tbl = table  # caller-supplied tables (e.g. a session's rebound
+    # table) skip the per-call build and keep compile shapes pinned
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
     cap = max_width or MAX_ENCODE_WIDTH

@@ -79,28 +79,16 @@ class VocabularyGenerator:
         task.start()
         try:
             nbytes = sum(len(s.encode("utf-8", "ignore")) for s in samples)
-            counts = None
-            cand_sets = self._feed_device(samples) \
+            counts = self._feed_device(samples) \
                 if self._split_re is None else None
-            if cand_sets is not None:
-                # Device DFA path: per-sample candidate byte sets; the
-                # special-token coins join the same sets (exact
-                # reference semantics, src/generate.rs:54-139).
-                freqs: Counter = Counter()
-                for sample, cset in zip(samples, cand_sets):
-                    tokens = {c.decode("utf-8") for c in cset}
-                    self._feed_special_sample(sample, tokens)
-                    freqs.update(tokens)
-                self.frequencies.update(freqs)
-                task.record(nbytes, len(samples))
-                return
-            counts = self._feed_native(samples) if self._split_re is None \
-                else None
+            if counts is None and self._split_re is None:
+                counts = self._feed_native(samples)
             if counts is not None:
-                # The native counter already flipped the substring-path
-                # coins for any special token that qualifies as a
-                # candidate; replace its counts with the exact per-sample
-                # union of both paths (see _feed_special_native).
+                # The device/native counters already flipped the
+                # substring-path coins for any special token that
+                # qualifies as a candidate; replace their counts with
+                # the exact per-sample union of both paths (see
+                # _feed_special_native).
                 for token in self._special_tokens():
                     counts.pop(token, None)
                 self.frequencies.update(counts)
@@ -152,37 +140,47 @@ class VocabularyGenerator:
     def _feed_special_native(self, samples: Sequence[str]) -> None:
         """Per-sample special-token counting for the native path.
 
-        The reference flips one coin per occurrence on the special-token
-        path and, independently, one per occurrence on the substring-
-        candidate path (when the token qualifies), with set-dedup across
-        both — P(count) = 1-(1-p)^(2k) for eligible tokens, 1-(1-p)^k
-        otherwise. The native counter's contribution was dropped by the
-        caller; reproduce the exact distribution here with 2k (or k)
-        independent coins and break-on-success."""
+        The reference flips one coin per NON-OVERLAPPING occurrence on
+        the special-token path (find/advance-past-token loop) and,
+        independently, one per enumerated substring occurrence on the
+        candidate path when the token qualifies — the substring scan
+        visits every start position, so those occurrences OVERLAP. With
+        set-dedup across both paths, P(count) = 1-(1-p)^(k_sub+k_spec).
+        The native counter's contribution was dropped by the caller;
+        reproduce the exact distribution here with that many independent
+        coins and break-on-success."""
         extra: Counter = Counter()
         for token in dict.fromkeys(self._special_tokens()):
-            flips_per_occ = 2 if self._substring_eligible(token) else 1
+            eligible = self._substring_eligible(token)
             for sample in samples:
-                occ = sample.count(token)
-                if occ == 0:
-                    continue
-                for _ in range(occ * flips_per_occ):
+                occ_spec = sample.count(token)  # non-overlapping
+                flips = occ_spec
+                if eligible and occ_spec:
+                    start = 0  # overlapping substring-path occurrences
+                    while True:
+                        idx = sample.find(token, start)
+                        if idx < 0:
+                            break
+                        flips += 1
+                        start = idx + 1
+                for _ in range(flips):
                     if self._rng.random() < self.insert_probability:
                         extra[token] += 1
                         break
         self.frequencies.update(extra)
 
-    def _feed_device(self, samples: Sequence[str]):
-        """TPU DFA-kernel candidate enumeration (ops/dfa_device.py).
+    def _feed_device(self, samples: Sequence[str]) -> Optional[Counter]:
+        """TPU DFA-kernel candidate counting (ops/dfa_device.py).
 
         Opt-in via TGX_DEVICE_FEED=1: the device computes the dense
-        candidate mask, but the host must then unpack it (L/8 bytes per
-        padded corpus byte back over the host link) and set-dedup the
-        survivors in Python — measured 0.01 MB/s over the dev tunnel vs
-        ~40 MB/s for the threaded C++ DFA counter on the same corpus,
-        and the host-side dedup caps the device path even on fast
-        links. The kernel stays for merge allow batch-checks and as the
-        pod-scale building block (SURVEY.md section 7.6)."""
+        bit-packed candidate mask and the threaded native drain
+        (tg_mask_count) extracts + per-sample-dedups the survivors, so
+        no Python object is materialized per substring. Still gated
+        off by default: the mask transfer is L/8 bytes per padded
+        corpus byte, which over the dev tunnel's ~5 MB/s host link
+        loses to the ~40 MB/s threaded C++ DFA counter; on pod-local
+        links the device path is the one that scales with chips
+        (SURVEY.md section 7.6)."""
         import os
 
         if os.environ.get("TGX_DEVICE_FEED", "0") != "1":
@@ -195,13 +193,13 @@ class VocabularyGenerator:
         except Exception:
             return None
         try:
-            from ..ops.dfa_device import feed_candidates_device
+            from ..ops.dfa_device import feed_counts_device
 
             seed = int(self._rng.integers(0, 2**31 - 1))
-            return feed_candidates_device(
+            return Counter(feed_counts_device(
                 self._dfa, [s.encode("utf-8") for s in samples],
                 self.max_token_length, self.insert_probability, seed,
-            )
+            ))
         except Exception:
             log.exception("device DFA feed failed; falling back")
             return None

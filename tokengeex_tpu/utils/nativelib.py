@@ -120,6 +120,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
             c_u8p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.tg_mask_count.restype = ctypes.c_int64
+        lib.tg_mask_count.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64,
+            c_u8p, ctypes.c_int64,
+            c_i64p, c_i64p, c_i64p, c_i64p, ctypes.c_int64,
+            c_u8p, ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -306,15 +313,21 @@ def substring_count(
         num_states = 0
         start_state = 0
 
+    return _drain_counts(lambda buf, cap: lib.tg_substring_count(
+        _u8p(data), _i64p(offsets), len(samples),
+        _i32p(dfa_next), _u8p(dfa_accept), num_states, start_state,
+        max_token_length, insert_probability, seed,
+        _u8p(buf), cap, num_threads or default_threads(),
+    ))
+
+
+def _drain_counts(call) -> dict:
+    """Run a serialize_counts-style native call with an auto-growing
+    output buffer and parse {token: count}."""
     cap = 1 << 24
     while True:
         buf = np.empty(cap, dtype=np.uint8)
-        r = lib.tg_substring_count(
-            _u8p(data), _i64p(offsets), len(samples),
-            _i32p(dfa_next), _u8p(dfa_accept), num_states, start_state,
-            max_token_length, insert_probability, seed,
-            _u8p(buf), cap, num_threads or default_threads(),
-        )
+        r = call(buf, cap)
         if r <= -1000000000:
             cap = int(-1000000000 - r)
             continue
@@ -330,6 +343,39 @@ def substring_count(
         out[token] = count
         off += 12 + ln
     return out
+
+
+def mask_count(
+    rows: np.ndarray,  # (B, W) uint8, W % 8 == 0
+    maskbits: np.ndarray,  # (B, L, W//8) uint8, little-endian bits
+    span_row: np.ndarray,
+    span_start: np.ndarray,
+    span_body: np.ndarray,
+    span_sid: np.ndarray,  # spans grouped by sid
+    num_threads: Optional[int] = None,
+):
+    """Drain a device-computed candidate mask (ops/dfa_device.py) into
+    per-sample-deduplicated document-frequency counts without
+    materializing Python substring objects. Returns {str: count}."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    B, W = rows.shape
+    assert W % 8 == 0 and maskbits.shape[0] == B \
+        and maskbits.shape[2] == W // 8
+    L = maskbits.shape[1]
+    rows = np.ascontiguousarray(rows)
+    maskbits = np.ascontiguousarray(maskbits)
+    span_row = np.ascontiguousarray(span_row, dtype=np.int64)
+    span_start = np.ascontiguousarray(span_start, dtype=np.int64)
+    span_body = np.ascontiguousarray(span_body, dtype=np.int64)
+    span_sid = np.ascontiguousarray(span_sid, dtype=np.int64)
+    return _drain_counts(lambda buf, cap: lib.tg_mask_count(
+        _u8p(rows), B, W, _u8p(maskbits), L,
+        _i64p(span_row), _i64p(span_start), _i64p(span_body),
+        _i64p(span_sid), len(span_row),
+        _u8p(buf), cap, num_threads or default_threads(),
+    ))
 
 
 if __name__ == "__main__":
