@@ -579,7 +579,7 @@ def _probe_mode(tbl, dtype) -> str:
     return "bucket" if tbl.t_bucket is not None else "fast"
 
 
-def match_cache(
+def _match_cache_impl(
     tbl: DeviceTables,
     batch: DeviceBatch,
     C: int = 512,
@@ -654,6 +654,7 @@ def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
     return _dropout_keep_window(drop_u, dropout, L, pad, 0, W)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype", "C"))
 def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
                      dtype=jnp.float32, C: int = 512) -> jax.Array:
     """Re-gather current scores for a cached (B, L, W) slot array (one
@@ -918,6 +919,118 @@ def _scan_forward(
         return jnp.concatenate([a0, a], axis=1)  # (B, W+1)
 
 
+# ---------------------------------------------------------------------------
+# Jitted entry points
+#
+# The trainers call these once per row group from ordinary Python; run
+# eagerly, each jax primitive would dispatch to the device separately
+# (measured ~40x slower than the identical graph under jit through the
+# remote-dispatch relay). Every public entry therefore routes through
+# ONE module-level jitted worker with the table and batch flattened to
+# plain arrays: compiles key on shapes + static config only, so
+# vocabulary rebinds (same shapes, fresh scores) never recompile — one
+# compile per (group shape, config) serves an entire training run.
+# ---------------------------------------------------------------------------
+
+
+def _dt_args(tbl: DeviceTables):
+    return (tbl.t1_fast, tbl.t2_fast, tbl.t1_exact, tbl.t2_exact,
+            tbl.scores, tbl.t_bucket)
+
+
+def _dt_meta(tbl: DeviceTables):
+    return (tbl.bits, tbl.max_len, tbl.vocab_size, tbl.bk_bits,
+            tbl.bk_salt)
+
+
+def _rebuild_dt(arrs, meta) -> DeviceTables:
+    bits, max_len, vocab_size, bk_bits, bk_salt = meta
+    return DeviceTables(
+        t1_fast=arrs[0], t2_fast=arrs[1], t1_exact=arrs[2],
+        t2_exact=arrs[3], scores=arrs[4], slot_to_id=None, slot_len=None,
+        bits=bits, max_len=max_len, vocab_size=vocab_size,
+        t_bucket=arrs[5], bk_slot_to_id=None, bk_slot_len=None,
+        bk_bits=bk_bits, bk_salt=bk_salt,
+    )
+
+
+def _batch_args(batch: DeviceBatch):
+    return (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,
+            batch.end_index, batch.rinv1, batch.rinv2)
+
+
+def _rebuild_batch(arrs, width: int, pad: int) -> DeviceBatch:
+    return DeviceBatch(
+        p1=arrs[0], p2=arrs[1], sid=arrs[2], is_start=arrs[3],
+        is_end=arrs[4], end_index=arrs[5], rinv1=arrs[6], rinv2=arrs[7],
+        width=width, pad=pad,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "meta", "width", "pad", "op", "C", "unroll", "dtype", "backend",
+    "probe", "dropout"))
+def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
+               slot_rows, *, meta, width, pad, op, C, unroll, dtype,
+               backend, probe, dropout):
+    tbl = _rebuild_dt(dt_arrs, meta)
+    batch = _rebuild_batch(batch_arrs, width, pad)
+    if op == "match_cache":
+        return _match_cache_impl(tbl, batch, C, dtype, drop_u, dropout,
+                                 probe)
+    if op in ("viterbi", "forward"):
+        kind = "viterbi" if op == "viterbi" else "logsumexp"
+        return _scan_forward(tbl, batch, kind, C, unroll, dtype, drop_u,
+                             dropout, backend, probe, cache, carry)
+    if op == "backward_expected":
+        return _backward_expected_impl(tbl, batch, A, C, unroll, dtype,
+                                       drop_u, dropout, backend, probe,
+                                       cache)
+    if op == "backward_betas":
+        return _backward_betas_impl(tbl, batch, C, unroll, dtype, drop_u,
+                                    dropout, probe, cache)
+    if op == "segsum_expected":
+        return _segsum_expected_impl(tbl, batch, A, Bt, seg, slot_rows,
+                                     drop_u, dropout, dtype)
+    if op == "estep_cached":
+        # Fused cached-slot EM pass: ONE dispatch per group instead of
+        # four (score regather + forward + betas + counts) — separate
+        # dispatches serialize on the device link and cost a sync each.
+        slots = cache
+        score = score_from_slots(slot_rows, slots, dtype, C)
+        cch = (score, slots)
+        A = _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype,
+                          drop_u, dropout, backend, probe, cch, None)
+        if seg is not None:
+            Bt = _backward_betas_impl(tbl, batch, C, unroll, dtype,
+                                      drop_u, dropout, probe, cch)
+            exp = _segsum_expected_impl(tbl, batch, A, Bt, seg,
+                                        slot_rows, drop_u, dropout, dtype)
+        else:
+            exp = _backward_expected_impl(tbl, batch, A, C, unroll, dtype,
+                                          drop_u, dropout, backend, probe,
+                                          cch)
+        return A, exp
+    if op == "viterbi_cached":
+        slots = cache
+        score = score_from_slots(slot_rows, slots, dtype, C)
+        return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype,
+                             drop_u, dropout, backend, probe,
+                             (score, slots), None)
+    raise ValueError(op)
+
+
+def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
+              drop_u=None, dropout=0.0, backend="xla", probe=None,
+              cache=None, carry=None, A=None, Bt=None, seg=None,
+              slot_rows=None):
+    return _op_worker(
+        _dt_args(tbl), _batch_args(batch), cache, drop_u, carry, A, Bt,
+        seg, slot_rows, meta=_dt_meta(tbl), width=batch.width,
+        pad=batch.pad, op=op, C=C, unroll=unroll, dtype=dtype,
+        backend=backend, probe=probe, dropout=float(dropout))
+
+
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
             drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None,
             carry=None):
@@ -928,15 +1041,103 @@ def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
     host from the matched byte spans. `carry` chains windows of long
     samples (see _scan_forward).
     """
-    return _scan_forward(tbl, batch, "viterbi", C, unroll, dtype, drop_u,
-                         dropout, backend, probe, cache, carry)
+    return _dispatch("viterbi", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, drop_u=drop_u, dropout=dropout,
+                     backend=backend, probe=probe, cache=cache,
+                     carry=carry)
+
+
+def match_cache(tbl, batch, C=512, dtype=jnp.float32, drop_u=None,
+                dropout=0.0, probe=None):
+    """See _match_cache_impl (jitted entry)."""
+    return _dispatch("match_cache", tbl, batch, C=C, dtype=dtype,
+                     drop_u=drop_u, dropout=dropout, probe=probe)
+
+
+def backward_expected(tbl, batch, A, C=256, unroll=16, dtype=jnp.float32,
+                      drop_u=None, dropout=0.0, backend="xla", probe=None,
+                      cache=None):
+    """See _backward_expected_impl (jitted entry)."""
+    return _dispatch("backward_expected", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, drop_u=drop_u, dropout=dropout,
+                     backend=backend, probe=probe, cache=cache, A=A)
+
+
+def backward_betas(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
+                   drop_u=None, dropout=0.0, probe=None, cache=None):
+    """See _backward_betas_impl (jitted entry)."""
+    return _dispatch("backward_betas", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, drop_u=drop_u, dropout=dropout,
+                     probe=probe, cache=cache)
+
+
+def segsum_expected(tbl, batch, A, Bt, seg, slot_rows, drop_u=None,
+                    dropout=0.0, dtype=jnp.float32):
+    """See _segsum_expected_impl (jitted entry)."""
+    return _dispatch("segsum_expected", tbl, batch, C=128, dtype=dtype,
+                     drop_u=drop_u, dropout=dropout, A=A, Bt=Bt, seg=seg,
+                     slot_rows=slot_rows)
+
+
+def estep_cached(tbl, batch, slots, slot_rows, seg=None, drop_u=None,
+                 dropout=0.0, C=512, unroll=16, dtype=jnp.float32,
+                 backend="xla", probe=None):
+    """(A, expected-count accumulator) for a slot-cached group in ONE
+    jitted dispatch (see _op_worker op='estep_cached')."""
+    return _dispatch("estep_cached", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, drop_u=drop_u, dropout=dropout,
+                     backend=backend, probe=probe, cache=slots, seg=seg,
+                     slot_rows=slot_rows)
+
+
+def viterbi_cached(tbl, batch, slots, slot_rows, drop_u=None, dropout=0.0,
+                   C=512, unroll=16, dtype=jnp.float32, backend="xla",
+                   probe=None):
+    """(dp, best_l) for a slot-cached group in ONE jitted dispatch."""
+    return _dispatch("viterbi_cached", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, drop_u=drop_u, dropout=dropout,
+                     backend=backend, probe=probe, cache=slots,
+                     slot_rows=slot_rows)
+
+
+@jax.jit
+def _picked(A, rows_idx, ends_idx):
+    return A[rows_idx, ends_idx]
+
+
+def pick_span_values_device(A, rows_idx, ends_idx):
+    """A[rows_idx[k], ends_idx[k]] per span as a PADDED device array
+    (slice the first len(rows_idx) on the host): power-of-two padded
+    index arrays, because an unpadded fancy-index gather compiles one
+    XLA executable per distinct span count (every row group differs),
+    which costs seconds apiece through a remote-compile relay."""
+    n = len(rows_idx)
+    m = 1024
+    while m < n:
+        m *= 2
+    r = np.zeros(m, np.int32)
+    e = np.zeros(m, np.int32)
+    r[:n] = rows_idx
+    e[:n] = ends_idx
+    return _picked(A, jnp.asarray(r), jnp.asarray(e))
+
+
+def pick_span_values(A, rows_idx, ends_idx) -> np.ndarray:
+    """Host-materialized pick_span_values_device."""
+    n = len(rows_idx)
+    return np.asarray(
+        pick_span_values_device(A, rows_idx, ends_idx))[:n]
 
 
 def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-            drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None):
-    """EM forward pass: A (B, W+1) log-prob of segmenting each prefix."""
-    return _scan_forward(tbl, batch, "logsumexp", C, unroll, dtype, drop_u,
-                         dropout, backend, probe, cache)
+            drop_u=None, dropout=0.0, backend="xla", probe=None, cache=None,
+            carry=None):
+    """EM forward pass: A (B, W+1) log-prob of segmenting each prefix
+    (jitted entry)."""
+    return _dispatch("forward", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, drop_u=drop_u, dropout=dropout,
+                     backend=backend, probe=probe, cache=cache,
+                     carry=carry)
 
 
 # ---------------------------------------------------------------------------
@@ -944,7 +1145,7 @@ def forward(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 
-def backward_expected(
+def _backward_expected_impl(
     tbl: DeviceTables,
     batch: DeviceBatch,
     A: jax.Array,  # (B, W+1) from forward()
@@ -1096,7 +1297,7 @@ def backward_expected(
     return expected[:nbins]
 
 
-def backward_betas(
+def _backward_betas_impl(
     tbl: DeviceTables,
     batch: DeviceBatch,
     C: int = 256,
@@ -1292,7 +1493,7 @@ def _interval_sums(w: jax.Array, pre_pos: jax.Array,
     )
 
 
-def segsum_expected(
+def _segsum_expected_impl(
     tbl: DeviceTables,
     batch: DeviceBatch,
     A: jax.Array,   # (B, W+1) from forward()

@@ -143,11 +143,19 @@ class DeviceTrainSession:
         from . import estep_device as ed
         from ..parallel import mesh as pmesh
 
+        target = None
         for gi, (r0, r1) in enumerate(
                 ed._row_groups(self.packed, self.width)):
             sub = ed._slice_packed(self.packed, r0, r1)
             if self.use_mesh or self.kernel == "pallas":
                 sub = pmesh.pad_rows_to_multiple(sub, self.row_mult)
+            if target is None:
+                target = sub.rows
+            elif sub.rows < target:
+                # Uniform row count: the trailing group would otherwise
+                # compile a SECOND executable for every pass variant
+                # (minutes apiece through a remote-compile relay).
+                sub = pmesh.pad_rows_to_multiple(sub, target)
             yield gi, sub
 
     def _batch_for(self, gi: int, sub):
@@ -240,17 +248,27 @@ class DeviceTrainSession:
                     sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
                     minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
                 )
-            score, slots = self._probe_group(gi, batch)
             if self.use_mesh:
                 # The sharded fns mask the cached scores per chunk from
                 # drop_u inside the scans — a full-width masked copy
                 # would double the group's cache footprint.
+                score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns(dropout)
                 args = pmesh.batch_to_arrays(batch) + (score, slots)
                 if dropout > 0.0:
                     args = args + (drop_u,)
                 A, exp_g = fns["estep"](*args)
+            elif self.dtype != jnp.float64 and gi in self.slot_cache:
+                # Steady state: ONE fused dispatch per group (score
+                # regather + forward + backward + counts).
+                slots = self.slot_cache[gi]
+                seg = self._seg_for(gi, slots)
+                A, exp_g = lj.estep_cached(
+                    self.dt, batch, slots, self.slot_rows, seg=seg,
+                    drop_u=drop_u, dropout=dropout, C=self.chunk,
+                    dtype=self.dtype, backend=self.kernel)
             else:
+                score, slots = self._probe_group(gi, batch)
                 A = lj.forward(self.dt, batch, C=self.chunk,
                                dtype=self.dtype, backend=self.kernel,
                                cache=(score, slots), drop_u=drop_u,
@@ -281,7 +299,8 @@ class DeviceTrainSession:
             if sub.spans:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
                 ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
-                z_checks.append((A[rows_idx, ends_idx], sub.spans))
+                z_checks.append((lj.pick_span_values_device(
+                    A, rows_idx, ends_idx), sub.spans))
             if task is not None:
                 nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
                 task.record(nbytes,
@@ -289,7 +308,7 @@ class DeviceTrainSession:
         expected = lj.fold_expected(self.dt, acc) if acc is not None \
             else np.zeros(self.dt.vocab_size, dtype=np.float64)
         for z_dev, spans in z_checks:
-            z_vals = np.asarray(z_dev)
+            z_vals = np.asarray(z_dev)[: len(spans)]
             bad = ~np.isfinite(z_vals)
             if bad.any():
                 k = int(np.nonzero(bad)[0][0])
@@ -325,8 +344,8 @@ class DeviceTrainSession:
         def drain(pending):
             sub, dp_ends_dev, best_l_dev, spans_whole = pending
             best_l_host = np.asarray(best_l_dev)
-            dp_ends = np.asarray(dp_ends_dev) if spans_whole else \
-                np.zeros(0, dtype=np.float32)
+            dp_ends = np.asarray(dp_ends_dev)[: len(spans_whole)] \
+                if spans_whole else np.zeros(0, dtype=np.float32)
             view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
                                sub.end_index, spans_whole)
             for ids in lj.backtrack(view, dp_ends, best_l_host,
@@ -341,12 +360,17 @@ class DeviceTrainSession:
         pending = None
         for gi, sub in self._groups():
             batch = self._batch_for(gi, sub)
-            score, slots = self._probe_group(gi, batch)
             if self.use_mesh:
+                score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns()
                 dp, best_l = fns["viterbi"](
                     *(pmesh.batch_to_arrays(batch) + (score, slots)))
+            elif self.dtype != jnp.float64 and gi in self.slot_cache:
+                dp, best_l = lj.viterbi_cached(
+                    self.dt, batch, self.slot_cache[gi], self.slot_rows,
+                    C=self.chunk, dtype=self.dtype, backend=self.kernel)
             else:
+                score, slots = self._probe_group(gi, batch)
                 dp, best_l = lj.viterbi(self.dt, batch, C=self.chunk,
                                         dtype=self.dtype,
                                         backend=self.kernel,
@@ -356,7 +380,8 @@ class DeviceTrainSession:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in spans_whole])
                 ends_idx = np.asarray(
                     [e - 1 for (_, _, e, _, _) in spans_whole])
-                dp_ends_dev = dp[rows_idx, np.maximum(ends_idx, 0)]
+                dp_ends_dev = lj.pick_span_values_device(
+                    dp, rows_idx, np.maximum(ends_idx, 0))
             else:
                 dp_ends_dev = None
             nxt = (sub, dp_ends_dev, best_l.astype(jnp.int8), spans_whole)

@@ -53,6 +53,26 @@ def _row_groups(packed: PackedBatch, width: int):
         yield start, min(rows, start + group)
 
 
+def _padded_groups(packed: PackedBatch, width: int, pad_mult: int):
+    """Row groups padded (a) to pad_mult for the mesh/pallas layouts
+    and (b) the TRAILING group up to the leading groups' row count —
+    a second row-count shape would otherwise compile a second
+    executable for every pass variant (minutes apiece through a
+    remote-compile relay)."""
+    from ..parallel import mesh as pmesh
+
+    target = None
+    for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
+        sub = _slice_packed(packed, r0, r1)
+        if pad_mult > 1:
+            sub = pmesh.pad_rows_to_multiple(sub, pad_mult)
+        if target is None:
+            target = sub.rows
+        elif sub.rows < target:
+            sub = pmesh.pad_rows_to_multiple(sub, target)
+        yield gi, sub
+
+
 def _slice_packed(packed: PackedBatch, r0: int, r1: int) -> PackedBatch:
     spans = [
         (r - r0, s, e, si, ci) for (r, s, e, si, ci) in packed.spans
@@ -126,10 +146,9 @@ def run_e_step_device(
     acc = None
     z_checks = []  # deferred (z device array or host block, spans)
 
-    for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
-        sub = _slice_packed(packed, r0, r1)
-        if use_mesh or kernel == "pallas":
-            sub = pmesh.pad_rows_to_multiple(sub, row_mult)
+    for gi, sub in _padded_groups(
+            packed, width,
+            row_mult if (use_mesh or kernel == "pallas") else 1):
         if n_proc > 1:
             # Every process holds the same global packing; each feeds
             # its addressable row shards into the global program.
@@ -187,14 +206,15 @@ def run_e_step_device(
             if spans_here:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
                 ends_idx = np.asarray([e for (_, _, e, _, _) in spans_here])
-                z_checks.append((A_local[rows_idx - lo, ends_idx],
-                                 spans_here))
+                z_checks.append((lj.pick_span_values_device(
+                    A_local, rows_idx - lo, ends_idx), spans_here))
         else:
             spans_here = sub.spans
             if spans_here:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
                 ends_idx = np.asarray([e for (_, _, e, _, _) in spans_here])
-                z_checks.append((A[rows_idx, ends_idx], spans_here))
+                z_checks.append((lj.pick_span_values_device(
+                    A, rows_idx, ends_idx), spans_here))
         if task is not None:
             nbytes = sum(e - s for (_, s, e, _, _) in spans_here)
             task.record(nbytes, len({si for (_, _, _, si, _) in spans_here}))
@@ -207,7 +227,7 @@ def run_e_step_device(
     fail_si = -1
     fail_z = 0.0
     for z_dev, spans_here in z_checks:
-        z_vals = np.asarray(z_dev)
+        z_vals = np.asarray(z_dev)[: len(spans_here)]
         bad = ~np.isfinite(z_vals)
         if bad.any():
             k = int(np.nonzero(bad)[0][0])
@@ -290,10 +310,9 @@ def encode_corpus_device(
     key = jax.random.PRNGKey(seed)
 
     per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
-    for gi, (r0, r1) in enumerate(_row_groups(packed, width)):
-        sub = _slice_packed(packed, r0, r1)
-        if use_mesh or kernel == "pallas":
-            sub = pmesh.pad_rows_to_multiple(sub, row_mult)
+    for gi, sub in _padded_groups(
+            packed, width,
+            row_mult if (use_mesh or kernel == "pallas") else 1):
         if n_proc > 1:
             batch = lj.prepare_batch_sharded(sub, L, sharding)
         else:
@@ -338,7 +357,8 @@ def encode_corpus_device(
                 rows_idx = np.asarray([r for (r, _, _, _, _) in spans_here])
                 ends_idx = np.asarray(
                     [e - 1 for (_, _, e, _, _) in spans_here])
-                dp_ends = dp_local[rows_idx - lo, np.maximum(ends_idx, 0)]
+                dp_ends = lj.pick_span_values(
+                    dp_local, rows_idx - lo, np.maximum(ends_idx, 0))
             else:
                 dp_ends = np.zeros(0, dtype=np.float32)
             view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
@@ -365,7 +385,8 @@ def encode_corpus_device(
             if sub.spans:
                 rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
                 ends_idx = np.asarray([e - 1 for (_, _, e, _, _) in sub.spans])
-                dp_ends = np.asarray(dp[rows_idx, np.maximum(ends_idx, 0)])
+                dp_ends = lj.pick_span_values(
+                    dp, rows_idx, np.maximum(ends_idx, 0))
             else:
                 dp_ends = np.zeros(0, dtype=np.float32)
             spans = lj.backtrack(sub, dp_ends, best_l_host,
