@@ -68,83 +68,29 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
-    # Phase-by-phase with syncs, group by group (first pass = probe).
-    for pas in range(2):
-        tpass = time.time()
-        acc = None
-        for gi, sub in groups:
-            t0 = time.time()
-            batch = sess._batch_for(gi, sub)
-            jax.block_until_ready(batch.p1)
-            t_batch = time.time() - t0
+    # Real session passes, timed end-to-end, with prune-like rebinds.
+    import jax
 
-            t0 = time.time()
-            score, slots = sess._probe_group(gi, batch)
-            jax.block_until_ready(slots)
-            t_probe = time.time() - t0
+    models = [model]
+    for k in range(3):
+        v = models[-1].vocab
+        singles = [t for t in v if len(t.value) == 1]
+        multi = [t for t in v if len(t.value) > 1]
+        models.append(Model(singles + multi[: max(0, len(multi) - 2000)]))
 
-            drop_u = None
-            t_drop = 0.0
-            if DROP > 0.0:
-                t0 = time.time()
-                key, sk = jax.random.split(key)
-                drop_u = jax.random.randint(
-                    sk, (batch.p1.shape[0], batch.sid.shape[1]),
-                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32)
-                jax.block_until_ready(drop_u)
-                t_drop = time.time() - t0
-
-            t0 = time.time()
-            A = lj.forward(sess.dt, batch, C=sess.chunk, dtype=sess.dtype,
-                           backend=sess.kernel, cache=(score, slots),
-                           drop_u=drop_u, dropout=DROP)
-            jax.block_until_ready(A)
-            t_fwd = time.time() - t0
-
-            t0 = time.time()
-            seg = sess._seg_for(gi, slots)
-            if seg is not None:
-                jax.block_until_ready(seg.perm)
-            t_seg = time.time() - t0
-
-            t0 = time.time()
-            if seg is not None:
-                Bt = lj.backward_betas(sess.dt, batch, C=sess.chunk,
-                                       dtype=sess.dtype,
-                                       cache=(score, slots),
-                                       drop_u=drop_u, dropout=DROP)
-                exp_g = lj.segsum_expected(sess.dt, batch, A, Bt, seg,
-                                           sess.slot_rows, drop_u=drop_u,
-                                           dropout=DROP, dtype=sess.dtype)
-            else:
-                exp_g = lj.backward_expected(sess.dt, batch, A,
-                                             C=sess.chunk,
-                                             dtype=sess.dtype,
-                                             backend=sess.kernel,
-                                             cache=(score, slots),
-                                             drop_u=drop_u, dropout=DROP)
-            jax.block_until_ready(exp_g)
-            t_bwd = time.time() - t0
-
-            t0 = time.time()
-            acc = exp_g if acc is None else acc + exp_g
-            spans = sub.spans
-            rows_idx = np.asarray([r for (r, _, _, _, _) in spans])
-            ends_idx = np.asarray([e for (_, _, e, _, _) in spans])
-            z = np.asarray(A[rows_idx, ends_idx])
-            t_z = time.time() - t0
-
-            log(f"  pass{pas} g{gi}: batch {t_batch:.2f} probe {t_probe:.2f} "
-                f"drop {t_drop:.2f} fwd {t_fwd:.2f} seg {t_seg:.2f} "
-                f"bwd+cnt {t_bwd:.2f} zfetch {t_z:.2f} "
-                f"(seg={'y' if seg is not None else 'n'}, "
-                f"rows={batch.p1.shape[0]})")
+    for pas in range(4):
+        m = models[min(pas, len(models) - 1)]
         t0 = time.time()
-        expected = lj.fold_expected(sess.dt, np.asarray(jax.device_get(acc)))
-        log(f"pass{pas} TOTAL {time.time()-tpass:.1f}s "
-            f"(fold {time.time()-t0:.2f}s) cache_used="
-            f"{sess.cache_used/1e9:.2f}GB slot_groups={len(sess.slot_cache)} "
-            f"seg_groups={len(sess.seg_cache)}")
+        expected = sess.e_step(m, DROP, seed=pas)
+        log(f"e_step pass{pas} vocab={m.vocab_size()}: "
+            f"{time.time()-t0:.1f}s  (cache={sess.cache_used/1e9:.2f}GB "
+            f"slot={len(sess.slot_cache)} seg={len(sess.seg_cache)})")
+    t0 = time.time()
+    freqs = sess.count_frequencies(models[-1])
+    log(f"count_frequencies: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    freqs = sess.count_frequencies(models[-1])
+    log(f"count_frequencies warm: {time.time()-t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -1020,13 +1020,29 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
     raise ValueError(op)
 
 
+# Host-side zero-length stand-in (numpy, so it is safe to pass from
+# inside another trace).
+_SCORES_PLACEHOLDER = np.zeros((0,), np.float32)
+
+
 def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
               drop_u=None, dropout=0.0, backend="xla", probe=None,
               cache=None, carry=None, A=None, Bt=None, seg=None,
               slot_rows=None):
+    dt_args = _dt_args(tbl)
+    meta = _dt_meta(tbl)
+    mode = probe or _probe_mode(tbl, dtype)
+    if mode != "exact":
+        # The f32 probe paths never read tbl.scores or tbl.vocab_size
+        # in traced code (scores live inside the row tables); passing
+        # the real (V,) array and V as static would RE-KEY the jit
+        # cache on every vocabulary rebind — a full recompile per EM
+        # sub-iteration. Substitute stable placeholders instead.
+        dt_args = dt_args[:4] + (_SCORES_PLACEHOLDER,) + dt_args[5:]
+        meta = meta[:2] + (-1,) + meta[3:]
     return _op_worker(
-        _dt_args(tbl), _batch_args(batch), cache, drop_u, carry, A, Bt,
-        seg, slot_rows, meta=_dt_meta(tbl), width=batch.width,
+        dt_args, _batch_args(batch), cache, drop_u, carry, A, Bt,
+        seg, slot_rows, meta=meta, width=batch.width,
         pad=batch.pad, op=op, C=C, unroll=unroll, dtype=dtype,
         backend=backend, probe=probe, dropout=float(dropout))
 
