@@ -877,4 +877,63 @@ extern "C" int64_t tg_mask_count(
   return serialize_counts(merged, out_buf, cap);
 }
 
+// Resolve device Viterbi backpointers to token ids on native threads.
+// The Python per-token loop (ops/lattice_jax.py backtrack: int(),
+// tobytes(), dict lookup per token) costs ~1-2us/token and bounds the
+// frequency/merge/encode passes once the device side is fused
+// (reference backtrack: src/model.rs:112-127).
+//
+// rows:    (B, W) packed corpus bytes
+// best_l:  (B, W) int8 chosen token length at dp index p-1
+// spans:   n records (row, start, end, ok); ok == 0 marks a span whose
+//          dp end is not finite (NoPath) -> out_lens[k] = -1
+// out_ids: flat int32 ids; span k's ids start at the span's BYTE
+//          offset (prefix sum of end-start), in forward order
+// out_lens: per-span id count; -1 NoPath; -2 inconsistent backpointer
+//          or a token the trie does not contain
+// Caller sizes out_ids to sum(end-start) (one id per byte worst case).
+extern "C" int64_t tg_backtrack_ids(
+    const void* model_ptr, const uint8_t* rows, int64_t B, int64_t W,
+    const int8_t* best_l,
+    const int64_t* span_row, const int64_t* span_start,
+    const int64_t* span_end, const uint8_t* span_ok, int64_t n_spans,
+    int32_t* out_ids, int64_t* out_lens, int num_threads) {
+  const Model& m = *static_cast<const Model*>(model_ptr);
+  std::vector<int64_t> offs(n_spans + 1, 0);
+  for (int64_t k = 0; k < n_spans; ++k)
+    offs[k + 1] = offs[k] + (span_end[k] - span_start[k]);
+
+  parallel_for(n_spans, num_threads, [&](int64_t kb, int64_t ke, int) {
+    for (int64_t k = kb; k < ke; ++k) {
+      const int64_t s = span_start[k], e = span_end[k];
+      if (e == s) { out_lens[k] = 0; continue; }
+      if (!span_ok[k]) { out_lens[k] = -1; continue; }
+      const int64_t r = span_row[k];
+      const uint8_t* row = rows + r * W;
+      const int8_t* bl = best_l + r * W;
+      int32_t* out = out_ids + offs[k];
+      int64_t n = 0, pos = e;
+      while (pos > s) {
+        const int l = bl[pos - 1];
+        if (l <= 0 || pos - l < s) { n = -2; break; }
+        int32_t cur = 0;
+        for (int64_t i = pos - l; i < pos; ++i) {
+          cur = m.step(cur, row[i]);
+          if (cur < 0) break;
+        }
+        const int32_t id = cur >= 0 ? m.nodes[cur].token_id : -1;
+        if (id < 0) { n = -2; break; }
+        out[n++] = id;
+        pos -= l;
+      }
+      if (n >= 0) {  // backtrack walked right-to-left: reverse in place
+        for (int64_t i = 0, j = n - 1; i < j; ++i, --j)
+          std::swap(out[i], out[j]);
+      }
+      out_lens[k] = n;
+    }
+  });
+  return offs[n_spans];
+}
+
 }  // extern "C"

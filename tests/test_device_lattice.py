@@ -106,6 +106,40 @@ def test_viterbi_f32_close_to_oracle():
     assert mismatches <= 1
 
 
+def test_native_backtrack_matches_python():
+    # The threaded native backtrack (tg_backtrack_ids) must resolve the
+    # exact same id sequences as the Python dict-lookup loop, including
+    # per-span NoPath flags.
+    from tokengeex_tpu.utils import nativelib
+
+    vocab, samples, oracle, dt64, packed, batch = _setup(seed=7)
+    if nativelib.get_lib() is None:
+        pytest.skip("native library unavailable")
+    tbl = TokenTable.build(vocab)
+    dt = lj.DeviceTables.from_table(tbl, dtype=jnp.float32)
+    dp, best_l = lj.viterbi(dt, batch, C=32, dtype=jnp.float32)
+    dp = np.asarray(dp)
+    best_l = np.asarray(best_l)
+    nm = nativelib.NativeModel(vocab)
+    want = lj.backtrack(packed, dp, best_l, oracle.token_to_ids)
+    got = lj.backtrack(packed, dp, best_l, oracle.token_to_ids,
+                       native_model=nm)
+    assert got == want
+
+    # NoPath: mark one span's dp end as -inf; both paths must agree.
+    dp_bad = dp.copy()
+    r0, s0, e0, _, _ = packed.spans[0]
+    dp_bad[r0, e0 - 1] = -np.inf
+    with pytest.raises(lj.NoPathError):
+        lj.backtrack(packed, dp_bad, best_l, oracle.token_to_ids,
+                     native_model=nm)
+    got_soft = lj.backtrack(packed, dp_bad, best_l, oracle.token_to_ids,
+                            raise_no_path=False, native_model=nm)
+    want_soft = lj.backtrack(packed, dp_bad, best_l, oracle.token_to_ids,
+                             raise_no_path=False)
+    assert got_soft == want_soft and got_soft[0] is None
+
+
 def test_forward_z_matches_oracle():
     vocab, samples, oracle, dt, packed, batch = _setup(seed=4)
     A = lj.forward(dt, batch, C=32, dtype=jnp.float64)

@@ -1616,6 +1616,7 @@ def backtrack(
     best_l: np.ndarray,
     token_to_id,  # Mapping[bytes, int]
     raise_no_path: bool = True,
+    native_model=None,  # utils.nativelib.NativeModel for the threaded path
 ) -> List[Optional[List[int]]]:
     """Recover token id sequences per snippet span from device outputs.
 
@@ -1630,6 +1631,34 @@ def backtrack(
     # dp may be the full (B, W) array or a 1-D per-span array of the
     # dp values at each span end (cheaper to fetch from device).
     per_span_dp = dp.ndim == 1
+    if native_model is not None and packed.spans:
+        # Threaded native resolution (tg_backtrack_ids): the trie's
+        # later-id-overwrite lookup matches token_to_id exactly; the
+        # Python loop below costs ~1-2us/token and bounds the
+        # frequency/merge/encode passes at corpus scale.
+        n = len(packed.spans)
+        sr = np.fromiter((sp[0] for sp in packed.spans), np.int64, n)
+        ss = np.fromiter((sp[1] for sp in packed.spans), np.int64, n)
+        se = np.fromiter((sp[2] for sp in packed.spans), np.int64, n)
+        dpe = dp[:n] if per_span_dp else dp[sr, np.maximum(se - 1, 0)]
+        ok = np.isfinite(dpe)
+        flat, lens, offs = native_model.backtrack_ids(
+            rows, best_l, sr, ss, se, ok.astype(np.uint8))
+        out_n: List[Optional[List[int]]] = []
+        for k in range(n):
+            c = int(lens[k])
+            if c == -1:
+                if raise_no_path:
+                    raise NoPathError(int(se[k] - ss[k]),
+                                      int(se[k] - ss[k]))
+                out_n.append(None)
+            elif c == -2:
+                raise RuntimeError(
+                    "native backtrack: inconsistent backpointers "
+                    f"(span {k}); model/table mismatch")
+            else:
+                out_n.append(flat[offs[k] : offs[k] + c].tolist())
+        return out_n
     out: List[Optional[List[int]]] = []
     for k, (r, s, e, _si, _ci) in enumerate(packed.spans):
         if e == s:

@@ -335,6 +335,7 @@ class DeviceTrainSession:
         V = model.vocab_size()
         freqs = np.zeros(V, dtype=np.int64)
         token_to_id = model.oracle.token_to_ids
+        nm = model.native()  # threaded backtrack when available
         long_idx = [si for si, s in enumerate(self.samples)
                     if len(s) > self.max_snippet]
         long_set = set(long_idx)
@@ -349,7 +350,7 @@ class DeviceTrainSession:
             view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
                                sub.end_index, spans_whole)
             for ids in lj.backtrack(view, dp_ends, best_l_host,
-                                    token_to_id):
+                                    token_to_id, native_model=nm):
                 if ids:
                     np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
             if task is not None:

@@ -365,7 +365,8 @@ def encode_corpus_device(
                                sub.end_index, spans_here)
             spans_ids = lj.backtrack(view, dp_ends, best_l_host,
                                      model.oracle.token_to_ids,
-                                     raise_no_path=False)
+                                     raise_no_path=False,
+                                     native_model=model.native())
             fail_si = -1
             for sp, ids in zip(spans_here, spans_ids):
                 if ids is None:
@@ -390,7 +391,8 @@ def encode_corpus_device(
             else:
                 dp_ends = np.zeros(0, dtype=np.float32)
             spans = lj.backtrack(sub, dp_ends, best_l_host,
-                                 model.oracle.token_to_ids)
+                                 model.oracle.token_to_ids,
+                                 native_model=model.native())
             for (r, s, e, si, ci), ids in zip(sub.spans, spans):
                 per_span_all.append(((r, s, e, si, ci), ids))
         if task is not None:

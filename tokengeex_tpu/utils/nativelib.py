@@ -127,6 +127,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_i64p, c_i64p, c_i64p, c_i64p, ctypes.c_int64,
             c_u8p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.tg_backtrack_ids.restype = ctypes.c_int64
+        lib.tg_backtrack_ids.argtypes = [
+            ctypes.c_void_p, c_u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8),
+            c_i64p, c_i64p, c_i64p, c_u8p, ctypes.c_int64,
+            c_i32p, c_i64p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -180,6 +187,36 @@ class NativeModel:
 
     def encode(self, sample: bytes) -> List[int]:
         return self.encode_batch([sample])[0]
+
+    def backtrack_ids(self, rows: np.ndarray, best_l: np.ndarray,
+                      span_row: np.ndarray, span_start: np.ndarray,
+                      span_end: np.ndarray, span_ok: np.ndarray,
+                      num_threads: Optional[int] = None):
+        """Resolve device Viterbi backpointers to token ids (threaded;
+        see native tg_backtrack_ids). Returns (flat_ids, lens, offs):
+        span k's ids are flat_ids[offs[k] : offs[k] + lens[k]];
+        lens -1 = NoPath, -2 = inconsistent backpointers."""
+        B, W = rows.shape
+        rows = np.ascontiguousarray(rows, dtype=np.uint8)
+        best_l = np.ascontiguousarray(best_l, dtype=np.int8)
+        span_row = np.ascontiguousarray(span_row, dtype=np.int64)
+        span_start = np.ascontiguousarray(span_start, dtype=np.int64)
+        span_end = np.ascontiguousarray(span_end, dtype=np.int64)
+        span_ok = np.ascontiguousarray(span_ok, dtype=np.uint8)
+        lengths = span_end - span_start
+        offs = np.zeros(len(span_row) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        out_ids = np.empty(max(int(offs[-1]), 1), dtype=np.int32)
+        out_lens = np.empty(max(len(span_row), 1), dtype=np.int64)
+        self._lib.tg_backtrack_ids(
+            self._handle, _u8p(rows), B, W,
+            best_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i64p(span_row), _i64p(span_start), _i64p(span_end),
+            _u8p(span_ok), len(span_row),
+            _i32p(out_ids), _i64p(out_lens),
+            num_threads or default_threads(),
+        )
+        return out_ids, out_lens[: len(span_row)], offs
 
     def encode_batch(self, samples: Sequence[bytes],
                      num_threads: Optional[int] = None) -> List[List[int]]:
