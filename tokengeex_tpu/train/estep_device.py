@@ -572,10 +572,14 @@ def count_frequencies_device(model: Model, samples: Sequence[bytes],
     return freqs
 
 
-def count_pairs_device(model: Model, samples: Sequence[bytes], task=None):
+def count_pairs_device(model: Model, samples: Sequence[bytes], task=None,
+                       table_hints: Optional[Tuple[int, int]] = None):
     """Adjacent pair counts from device Viterbi encodes
-    (reference: src/merge.rs:53-84)."""
-    encoded = encode_corpus_device(model, samples, task)
+    (reference: src/merge.rs:53-84). table_hints (min_bits, min_len)
+    pins the table shapes across the merge loop's growing vocabulary —
+    without it every merge batch recompiles the whole encode pipeline."""
+    encoded = encode_corpus_device(model, samples, task,
+                                   table_hints=table_hints)
     from collections import Counter
 
     counts: Counter = Counter()

@@ -112,9 +112,19 @@ class VocabularyMerger:
             except Exception:
                 pass
         if backend == "device":
+            import numpy as np
+
             from .estep_device import count_pairs_device
 
-            pairs = count_pairs_device(model, samples, task)
+            # Shape hints for the FINAL merge state: merged tokens grow
+            # the max token length toward max_token_length and the
+            # vocabulary toward start + num_merges; stable shapes mean
+            # one compile serves every merge batch.
+            final_v = model.vocab_size() + max(self.num_merges, 0)
+            hints = (max(8, int(np.ceil(np.log2(max(final_v, 2)))) + 1),
+                     self.max_token_length)
+            pairs = count_pairs_device(model, samples, task,
+                                       table_hints=hints)
             return pairs
         native = model.native()
         if native is not None:
