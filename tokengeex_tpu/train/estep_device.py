@@ -257,6 +257,7 @@ def encode_corpus_device(
     probe: Optional[str] = None,
     max_width: Optional[int] = None,
     table: Optional[TokenTable] = None,
+    corpus: Optional["DeviceCorpus"] = None,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
@@ -290,17 +291,29 @@ def encode_corpus_device(
     # table) skip the per-call build and keep compile shapes pinned
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
-    cap = max_width or MAX_ENCODE_WIDTH
-    cap = max(CHUNK, -(-cap // CHUNK) * CHUNK)
-    long_idx = [si for si, s in enumerate(samples) if len(s) > cap]
-    short = [s if len(s) <= cap else b"" for s in samples]
-    width = _pick_width(short, None)
-    packed = pack_samples(short, width=width, max_snippet=None)
 
     n_dev = len(jax.devices())
     n_proc = jax.process_count()
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
+
+    if corpus is not None and n_proc == 1:
+        cap = corpus.cap
+        long_idx = corpus.long_idx
+        width = corpus.width
+        groups = corpus.groups
+    else:
+        cap = max_width or MAX_ENCODE_WIDTH
+        cap = max(CHUNK, -(-cap // CHUNK) * CHUNK)
+        long_idx = [si for si, s in enumerate(samples) if len(s) > cap]
+        short = [s if len(s) <= cap else b"" for s in samples]
+        width = _pick_width(short, None)
+        packed = pack_samples(short, width=width, max_snippet=None)
+        groups = _padded_groups(
+            packed, width,
+            row_mult if (use_mesh or kernel == "pallas") else 1)
+        corpus = None
+
     if use_mesh:
         mesh = pmesh.get_mesh()
         vit = pmesh.sharded_viterbi(dt, mesh, width=width, chunk=CHUNK,
@@ -310,10 +323,10 @@ def encode_corpus_device(
     key = jax.random.PRNGKey(seed)
 
     per_span_all: List[Tuple[Tuple, Optional[List[int]]]] = []
-    for gi, sub in _padded_groups(
-            packed, width,
-            row_mult if (use_mesh or kernel == "pallas") else 1):
-        if n_proc > 1:
+    for gi, sub in groups:
+        if corpus is not None:
+            batch = corpus.batch(gi, sub, L)
+        elif n_proc > 1:
             batch = lj.prepare_batch_sharded(sub, L, sharding)
         else:
             batch = lj.prepare_batch(sub, L)
@@ -572,14 +585,58 @@ def count_frequencies_device(model: Model, samples: Sequence[bytes],
     return freqs
 
 
+class DeviceCorpus:
+    """Packed corpus + device-cached compact encode inputs, reusable
+    across encode passes over the same samples. The merge loop
+    re-encodes the corpus after every vocabulary batch; re-packing on
+    host and re-uploading (~3 B per corpus byte) costs more than the
+    device pass itself on slow host links. The cached inputs are
+    independent of the vocabulary/table (prepare_batch_inputs carries
+    bytes + boundary flags only), so one corpus serves every model.
+
+    Single-process only (the sharded multi-process path builds global
+    arrays per pass)."""
+
+    def __init__(self, samples: Sequence[bytes],
+                 max_width: Optional[int] = None,
+                 kernel: Optional[str] = None):
+        import jax
+
+        kernel = kernel or _default_backend()
+        cap = max_width or MAX_ENCODE_WIDTH
+        self.cap = max(CHUNK, -(-cap // CHUNK) * CHUNK)
+        self.samples = samples
+        self.long_idx = [si for si, s in enumerate(samples)
+                         if len(s) > self.cap]
+        short = [s if len(s) <= self.cap else b"" for s in samples]
+        self.width = _pick_width(short, None)
+        self.packed = pack_samples(short, width=self.width,
+                                   max_snippet=None)
+        n_dev = len(jax.devices())
+        row_mult = n_dev * 128 if kernel == "pallas" else n_dev
+        self.pad_mult = row_mult if (n_dev > 1 or kernel == "pallas") \
+            else 1
+        self.groups = list(_padded_groups(self.packed, self.width,
+                                          self.pad_mult))
+        self._inputs: dict = {}
+
+    def batch(self, gi: int, sub: PackedBatch, L: int):
+        if gi not in self._inputs:
+            self._inputs[gi] = lj.prepare_batch_inputs(sub)
+        gbytes, gflags = self._inputs[gi]
+        return lj.prepare_batch_from_inputs(gbytes, gflags, L)
+
+
 def count_pairs_device(model: Model, samples: Sequence[bytes], task=None,
-                       table_hints: Optional[Tuple[int, int]] = None):
+                       table_hints: Optional[Tuple[int, int]] = None,
+                       corpus: Optional[DeviceCorpus] = None):
     """Adjacent pair counts from device Viterbi encodes
     (reference: src/merge.rs:53-84). table_hints (min_bits, min_len)
     pins the table shapes across the merge loop's growing vocabulary —
     without it every merge batch recompiles the whole encode pipeline."""
     encoded = encode_corpus_device(model, samples, task,
-                                   table_hints=table_hints)
+                                   table_hints=table_hints,
+                                   corpus=corpus)
     from collections import Counter
 
     counts: Counter = Counter()

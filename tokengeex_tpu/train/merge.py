@@ -37,6 +37,9 @@ class VocabularyMerger:
     max_token_length: int = 24
     backend: str = "auto"
 
+    def __post_init__(self):
+        self._corpus = None  # device-resident corpus, one per samples
+
     def merge(self, model: Model, samples: Sequence[bytes]) -> Model:
         """reference: src/merge.rs:33-136."""
         # Allow checks go through the same byte-DFA as the generate
@@ -114,7 +117,7 @@ class VocabularyMerger:
         if backend == "device":
             import numpy as np
 
-            from .estep_device import count_pairs_device
+            from .estep_device import DeviceCorpus, count_pairs_device
 
             # Shape hints for the FINAL merge state: merged tokens grow
             # the max token length toward max_token_length and the
@@ -123,8 +126,13 @@ class VocabularyMerger:
             final_v = model.vocab_size() + max(self.num_merges, 0)
             hints = (max(8, int(np.ceil(np.log2(max(final_v, 2)))) + 1),
                      self.max_token_length)
+            if self._corpus is None or self._corpus.samples is not samples:
+                # Pack + upload the corpus ONCE for the whole merge
+                # loop; every batch re-encodes the same bytes.
+                self._corpus = DeviceCorpus(samples)
             pairs = count_pairs_device(model, samples, task,
-                                       table_hints=hints)
+                                       table_hints=hints,
+                                       corpus=self._corpus)
             return pairs
         native = model.native()
         if native is not None:
