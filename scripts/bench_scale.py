@@ -156,12 +156,21 @@ def main():
     print(json.dumps({"stage": "merge", "seconds": round(dt, 2),
                       "vocab": model.vocab_size()}), flush=True)
 
-    # Compression + encode throughput on held-out data.
-    from tokengeex_tpu.train.estep_device import encode_corpus_device
+    # Compression + encode throughput on held-out data. First pass pays
+    # compiles + upload (reported as cold); the second pass over the
+    # device-cached corpus is the steady serving rate.
+    from tokengeex_tpu.train.estep_device import (DeviceCorpus,
+                                                  encode_corpus_device)
 
+    test_corpus = DeviceCorpus(test)
     t0 = time.time()
-    encoded = encode_corpus_device(model, test)
+    encoded = encode_corpus_device(model, test, corpus=test_corpus)
     enc_dt = time.time() - t0
+    t0 = time.time()
+    encode_corpus_device(model, test, corpus=test_corpus)
+    enc_warm = time.time() - t0
+    test_bytes_w = sum(len(s) for s in test)
+    results["encode_steady_mb_s"] = test_bytes_w / 1e6 / enc_warm
     total_tokens = sum(len(ids) for ids in encoded)
     total_chars = sum(len(s.decode("utf-8", "replace")) for s in test)
     test_bytes = sum(len(s) for s in test)
@@ -170,7 +179,38 @@ def main():
     print(json.dumps({"stage": "evaluate",
                       "chars_per_token": round(results["chars_per_token"], 3),
                       "encode_mb_per_s": round(results["encode_mb_s"], 1),
+                      "encode_steady_mb_per_s":
+                          round(results["encode_steady_mb_s"], 1),
                       "final_vocab": model.vocab_size()}), flush=True)
+
+    # Cross-library compression reference: an HF `tokenizers` BPE
+    # trained locally on the SAME corpus at the SAME final vocab size
+    # (the image has no network; pretrained vocabs are unreachable).
+    try:
+        from tokenizers import Tokenizer as HFTokenizer
+        from tokenizers.models import BPE
+        from tokenizers.pre_tokenizers import ByteLevel
+        from tokenizers.trainers import BpeTrainer
+
+        hf = HFTokenizer(BPE())
+        hf.pre_tokenizer = ByteLevel()
+        t0 = time.time()
+        hf.train_from_iterator(
+            (s.decode("utf-8") for s in train),
+            BpeTrainer(vocab_size=model.vocab_size(),
+                       show_progress=False))
+        hf_train_s = time.time() - t0
+        hf_tokens = sum(len(hf.encode(s.decode("utf-8")).ids)
+                        for s in test)
+        results["hf_bpe_chars_per_token"] = total_chars / max(hf_tokens, 1)
+        results["hf_bpe_train_s"] = hf_train_s
+        print(json.dumps({
+            "stage": "hf_bpe_reference",
+            "chars_per_token": round(results["hf_bpe_chars_per_token"], 3),
+            "train_seconds": round(hf_train_s, 2),
+            "vocab": hf.get_vocab_size()}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"hf tokenizers reference unavailable: {e}")
 
     out = os.environ.get("TGX_SCALE_OUT", "BASELINE_SCALE.json")
     with open(out, "w") as f:
