@@ -1020,9 +1020,35 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
     raise ValueError(op)
 
 
-# Host-side zero-length stand-in (numpy, so it is safe to pass from
-# inside another trace).
+# Host-side zero-length stand-ins (numpy, so they are safe to pass
+# from inside another trace).
 _SCORES_PLACEHOLDER = np.zeros((0,), np.float32)
+_TBUCKET_PLACEHOLDER = np.zeros((0, 16), np.int32)
+
+
+def dt_call_args(tbl: DeviceTables, dtype=jnp.float32, probe=None):
+    """Per-call table arrays for a prebuilt jitted/sharded fn built by
+    the mesh factories: f32 modes swap the scores array for a stable
+    placeholder (see _dispatch — otherwise every vocabulary rebind
+    re-keys the jit cache and recompiles); a missing bucket table
+    becomes a zero-size stand-in so the call tree structure is stable."""
+    arrs = _dt_args(tbl)
+    mode = probe or _probe_mode(tbl, dtype)
+    if mode != "exact":
+        arrs = arrs[:4] + (_SCORES_PLACEHOLDER,) + arrs[5:]
+    if arrs[5] is None:
+        arrs = arrs[:5] + (_TBUCKET_PLACEHOLDER,)
+    return arrs
+
+
+def dt_static_meta(tbl: DeviceTables, dtype=jnp.float32, probe=None):
+    """Static table metadata paired with dt_call_args (f32 modes blank
+    the per-binding vocab_size so it stays off the jit key)."""
+    meta = _dt_meta(tbl)
+    mode = probe or _probe_mode(tbl, dtype)
+    if mode != "exact":
+        meta = meta[:2] + (-1,) + meta[3:]
+    return meta
 
 
 def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,

@@ -68,15 +68,19 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
                    probe=None, with_cache: bool = False):
     """Build a jitted, mesh-sharded E-step over packed batch arrays.
 
-    Returns fn(p1, p2, sid, is_start, is_end, end_index[, score, slot]
-    [, drop_u]) -> (A, acc) where the batch rows are sharded over the
-    mesh's data axis, A is returned sharded (rows stay local), and the
-    expected-count accumulator (slot-indexed on the fast path; see
-    ops.lattice_jax.fold_expected) is psum-reduced and replicated.
-    with_cache=True consumes a precomputed (score, slot) match cache
-    instead of probing; with dropout > 0.0 it also takes a trailing
-    drop_u argument and masks the cached scores per chunk inside the
-    scans (no full-width masked copy is ever materialized).
+    Returns fn(*lj.dt_call_args(dt, dtype, probe), p1, p2, sid,
+    is_start, is_end, end_index, rinv1, rinv2[, score, slot]
+    [, drop_u]) -> (A, acc) where the table arrays are replicated, the
+    batch rows are sharded over the mesh's data axis, A is returned
+    sharded (rows stay local), and the expected-count accumulator
+    (slot-indexed on the fast path; see ops.lattice_jax.fold_expected)
+    is psum-reduced and replicated. Tables are per-call ARGUMENTS so
+    one compiled program serves every vocabulary rebind (shapes are
+    pinned by TokenTable.rebind). with_cache=True consumes a
+    precomputed (score, slot) match cache instead of probing; with
+    dropout > 0.0 it also takes a trailing drop_u argument and masks
+    the cached scores per chunk inside the scans (no full-width masked
+    copy is ever materialized).
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -87,10 +91,14 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
 
     axis = mesh.axis_names[0]
     L = dt.max_len
+    mode = probe or lj._probe_mode(dt, dtype)
+    meta = lj.dt_static_meta(dt, dtype, probe)
 
-    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
+    def local_step(t1f, t2f, t1e, t2e, sc, tb,
+                   p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
                    *rest):
         rest = list(rest)
+        tbl = lj._rebuild_dt((t1f, t2f, t1e, t2e, sc, tb), meta)
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
@@ -102,21 +110,21 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
         else:
             drop_u = rest.pop(0) if rest else None
             # Probe once; forward and backward share the cache.
-            cache = lj.match_cache(dt, batch, C=chunk, dtype=dtype,
+            cache = lj.match_cache(tbl, batch, C=chunk, dtype=dtype,
                                    drop_u=drop_u, dropout=dropout,
-                                   probe=probe)
-        A = lj.forward(dt, batch, C=chunk, dtype=dtype,
+                                   probe=mode)
+        A = lj.forward(tbl, batch, C=chunk, dtype=dtype,
                        drop_u=drop_u, dropout=dropout, backend=kernel,
-                       probe=probe, cache=cache)
-        expected = lj.backward_expected(dt, batch, A, C=chunk, dtype=dtype,
+                       probe=mode, cache=cache)
+        expected = lj.backward_expected(tbl, batch, A, C=chunk, dtype=dtype,
                                         drop_u=drop_u, dropout=dropout,
-                                        backend=kernel, probe=probe,
+                                        backend=kernel, probe=mode,
                                         cache=cache)
         expected = jax.lax.psum(expected, axis)
         return A, expected
 
-    base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P())
+    base_specs = (P(),) * 6 + (P(axis), P(axis), P(axis), P(axis),
+                               P(axis), P(axis), P(), P())
     in_specs = base_specs
     if with_cache:
         in_specs = in_specs + (P(axis), P(axis))
@@ -133,9 +141,9 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
 
 def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
                         probe=None):
-    """fn(batch arrays) -> (score, slot), both row-sharded — the
-    dropout-free probe whose slot array a session caches across EM
-    passes and prune rounds."""
+    """fn(*lj.dt_call_args(dt, dtype, probe), batch arrays)
+    -> (score, slot), both row-sharded — the dropout-free probe whose
+    slot array a session caches across EM passes and prune rounds."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -145,19 +153,23 @@ def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
 
     axis = mesh.axis_names[0]
     L = dt.max_len
+    mode = probe or lj._probe_mode(dt, dtype)
+    meta = lj.dt_static_meta(dt, dtype, probe)
 
-    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+    def local_step(t1f, t2f, t1e, t2e, sc, tb,
+                   p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
+        tbl = lj._rebuild_dt((t1f, t2f, t1e, t2e, sc, tb), meta)
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
-        return lj.match_cache(dt, batch, C=chunk, dtype=dtype, probe=probe)
+        return lj.match_cache(tbl, batch, C=chunk, dtype=dtype, probe=mode)
 
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis),) * 6 + (P(), P()),
+        in_specs=(P(),) * 6 + (P(axis),) * 6 + (P(), P()),
         out_specs=(P(axis), P(axis)),
     )
     return jax.jit(sharded)
@@ -168,12 +180,12 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
                     probe=None, chained: bool = False,
                     with_cache: bool = False):
     """Mesh-sharded Viterbi over packed rows: returns
-    fn(batch arrays[, mask, hist0][, score, slot][, drop_u])
-    -> (dp, best_l), all row-sharded. dropout > 0 samples segmentations
-    per chip (drop_u row-sharded like the batch; reference:
-    src/model.rs:100). chained=True adds the long-sample carry arrays;
-    with_cache=True consumes a precomputed match cache (see
-    ops.lattice_jax._scan_forward)."""
+    fn(*lj.dt_call_args(dt, dtype, probe), batch arrays[, mask, hist0]
+    [, score, slot][, drop_u]) -> (dp, best_l), all row-sharded.
+    dropout > 0 samples segmentations per chip (drop_u row-sharded like
+    the batch; reference: src/model.rs:100). chained=True adds the
+    long-sample carry arrays; with_cache=True consumes a precomputed
+    match cache (see ops.lattice_jax._scan_forward)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -183,10 +195,14 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
 
     axis = mesh.axis_names[0]
     L = dt.max_len
+    mode = probe or lj._probe_mode(dt, dtype)
+    meta = lj.dt_static_meta(dt, dtype, probe)
 
-    def local_step(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
+    def local_step(t1f, t2f, t1e, t2e, sc, tb,
+                   p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
                    *rest):
         rest = list(rest)
+        tbl = lj._rebuild_dt((t1f, t2f, t1e, t2e, sc, tb), meta)
         carry = None
         cache = None
         if chained:
@@ -199,11 +215,11 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
             width=width, pad=L,
         )
-        return lj.viterbi(dt, batch, C=chunk, dtype=dtype, backend=kernel,
-                          drop_u=drop_u, dropout=dropout, probe=probe,
+        return lj.viterbi(tbl, batch, C=chunk, dtype=dtype, backend=kernel,
+                          drop_u=drop_u, dropout=dropout, probe=mode,
                           carry=carry, cache=cache)
 
-    in_specs = (P(axis),) * 6 + (P(), P())
+    in_specs = (P(),) * 6 + (P(axis),) * 6 + (P(), P())
     if chained:
         in_specs = in_specs + (P(axis), P(axis))
     if with_cache:

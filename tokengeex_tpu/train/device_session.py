@@ -107,9 +107,16 @@ class DeviceTrainSession:
         self.dt = lj.DeviceTables.from_table(tbl, self.dtype)
         self.slot_rows = lj.slot_score_rows(self.dt)
         self._model = model
-        # The mesh-sharded fns close over the table arrays; rebuild them
-        # for the new binding (single-chip eager path is unaffected).
-        self._fns.clear()
+        # The mesh-sharded fns take the table arrays as per-call args
+        # (lj.dt_call_args), so f32 rebinds reuse them as-is; only the
+        # exact (f64) mode keys on the real vocab size and must rebuild.
+        import jax.numpy as jnp
+
+        if self.dtype == jnp.float64:
+            self._fns.clear()
+
+    def _dt_call(self):
+        return lj.dt_call_args(self.dt, self.dtype, self.probe)
 
     def _mesh_fns(self, dropout: float = 0.0):
         import jax  # noqa: F401
@@ -185,14 +192,16 @@ class DeviceTrainSession:
                 from ..parallel import mesh as pmesh
 
                 fns = self._mesh_fns()
-                return fns["probe"](*pmesh.batch_to_arrays(batch))
+                return fns["probe"](*(self._dt_call()
+                                      + pmesh.batch_to_arrays(batch)))
             return lj.match_cache(self.dt, batch, C=self.chunk,
                                   dtype=self.dtype, probe=self.probe)
         if self.use_mesh:
             from ..parallel import mesh as pmesh
 
             fns = self._mesh_fns()
-            score, slots = fns["probe"](*pmesh.batch_to_arrays(batch))
+            score, slots = fns["probe"](
+                *(self._dt_call() + pmesh.batch_to_arrays(batch)))
         else:
             score, slots = lj.match_cache(self.dt, batch, C=self.chunk,
                                           dtype=self.dtype,
@@ -254,7 +263,8 @@ class DeviceTrainSession:
                 # would double the group's cache footprint.
                 score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns(dropout)
-                args = pmesh.batch_to_arrays(batch) + (score, slots)
+                args = self._dt_call() + pmesh.batch_to_arrays(batch) \
+                    + (score, slots)
                 if dropout > 0.0:
                     args = args + (drop_u,)
                 A, exp_g = fns["estep"](*args)
@@ -365,7 +375,8 @@ class DeviceTrainSession:
                 score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns()
                 dp, best_l = fns["viterbi"](
-                    *(pmesh.batch_to_arrays(batch) + (score, slots)))
+                    *(self._dt_call() + pmesh.batch_to_arrays(batch)
+                      + (score, slots)))
             elif self.dtype != jnp.float64 and gi in self.slot_cache:
                 dp, best_l = lj.viterbi_cached(
                     self.dt, batch, self.slot_cache[gi], self.slot_rows,

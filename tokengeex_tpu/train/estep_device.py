@@ -171,7 +171,8 @@ def run_e_step_device(
                     minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
                 )
         if use_mesh:
-            args = pmesh.batch_to_arrays(batch)
+            args = lj.dt_call_args(dt, dtype, probe) \
+                + pmesh.batch_to_arrays(batch)
             if dropout > 0.0:
                 args = args + (drop_u,)
             A, exp_g = step(*args)
@@ -345,7 +346,8 @@ def encode_corpus_device(
                     minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
                 )
         if use_mesh:
-            args = pmesh.batch_to_arrays(batch)
+            args = lj.dt_call_args(dt, dtype, probe) \
+                + pmesh.batch_to_arrays(batch)
             if dropout > 0.0:
                 args = args + (drop_u,)
             dp, best_l = vit(*args)
@@ -519,7 +521,8 @@ def _encode_chained(
             )
         carry = (jnp.asarray(mask), jnp.asarray(carry_hist))
         if use_mesh:
-            args = pmesh.batch_to_arrays(batch) + carry
+            args = lj.dt_call_args(dt, dtype, probe) \
+                + pmesh.batch_to_arrays(batch) + carry
             if dropout > 0.0:
                 args = args + (drop_u,)
             dp, best_l = vit(*args)
