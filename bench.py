@@ -256,11 +256,19 @@ def main():
             f"({1e9/ems_rate:.1f} s/GB per session EM sub-iteration)")
 
     vs = (dev_rate / nat_rate) if nat_rate else 0.0
+    # roofline_fraction: achieved fraction of the measured pure-gather
+    # roofline for this workload's probe (one x16-row t_bucket gather
+    # per (pos, len) at the measured 0.386 G rows/s; BASELINE.md
+    # "Measured gather rooflines"). The native CPU baseline underneath
+    # vs_baseline fluctuates 6-79 MB/s run-to-run on this shared host.
+    gather_roofline = 0.386e9 / L  # bytes/s: L row gathers per byte
     print(json.dumps({
         "metric": f"viterbi_encode_bytes_per_s_{platform}",
         "value": round(dev_rate, 1),
         "unit": "bytes/s",
         "vs_baseline": round(vs, 4),
+        "roofline_fraction": round(dev_rate / gather_roofline, 4)
+        if platform == "tpu" else None,
     }))
 
 

@@ -71,6 +71,31 @@ def test_session_cached_pass_after_rescoring(setup):
     np.testing.assert_allclose(e_cached, want, rtol=3e-3, atol=1e-3)
 
 
+def test_session_mesh_fns_survive_rebind(setup):
+    # f32 rebinds must REUSE the compiled sharded fns (tables are
+    # per-call args, lj.dt_call_args) — a rebuild per EM sub-iteration
+    # means a full recompile per pass on a pod — while still producing
+    # the new binding's counts.
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    assert sess.use_mesh  # conftest provides 8 virtual devices
+    sess.e_step(model, 0.0, 0)
+    fn_before = sess._fns.get("estep:0.0")
+    assert fn_before is not None
+
+    rng = random.Random(11)
+    new_vocab = [
+        t.clone_with_score(t.score - rng.random())
+        for i, t in enumerate(model.vocab)
+        if len(t.value) == 1 or i % 4 != 0
+    ]
+    model2 = Model(new_vocab)
+    e_reused = sess.e_step(model2, 0.0, 0)
+    assert sess._fns.get("estep:0.0") is fn_before  # no rebuild
+    want, _ = model2.native().estep(samples, max_snippet=256)
+    np.testing.assert_allclose(e_reused, want, rtol=3e-3, atol=1e-3)
+
+
 def test_session_count_frequencies(setup):
     model, samples = setup
     # One sample longer than max_snippet exercises the unchunked
