@@ -41,10 +41,13 @@ def build_corpus(nbytes: int, seed: int = 0):
     text, NUL-separated samples like the reference's .bin files."""
     rng = np.random.default_rng(seed)
     syll = ["an", "er", "ti", "on", "ra", "lo", "de", "mi", "cu", "va",
-            "be", "so", "ne", "pa", "gen", "st", "qu", "ix", "al", "um"]
+            "be", "so", "ne", "pa", "gen", "st", "qu", "ix", "al", "um",
+            "tro", "ba", "ke", "zu", "phi", "wo", "ja", "vy", "osh", "el"]
+    # A 20k-word pool: a 6k pool capped the learnable vocabulary at
+    # ~17.5k tokens (the prune always-keep floor), stalling 32k runs.
     pool = []
     seen = set()
-    while len(pool) < 6000:
+    while len(pool) < 20000:
         w = "".join(syll[i] for i in
                     rng.integers(0, len(syll), rng.integers(2, 5)))
         if w not in seen:
@@ -56,7 +59,7 @@ def build_corpus(nbytes: int, seed: int = 0):
              "else", "while", "self", "print", "lambda", "yield"]
     kw_c = ["int", "void", "struct", "static", "const", "char", "float",
             "return", "sizeof", "typedef", "switch", "case"]
-    zh = [chr(c) for c in rng.integers(0x4E00, 0x9FBF, 400)]
+    zh = [chr(c) for c in rng.integers(0x4E00, 0x9FBF, 1500)]
 
     def line(lang):
         n = int(rng.integers(3, 12))
