@@ -165,6 +165,7 @@ def main():
     from tokengeex_tpu.train.estep_device import (DeviceCorpus,
                                                   encode_corpus_device)
 
+    test_bytes = sum(len(s) for s in test)
     test_corpus = DeviceCorpus(test)
     t0 = time.time()
     encoded = encode_corpus_device(model, test, corpus=test_corpus)
@@ -172,11 +173,9 @@ def main():
     t0 = time.time()
     encode_corpus_device(model, test, corpus=test_corpus)
     enc_warm = time.time() - t0
-    test_bytes_w = sum(len(s) for s in test)
-    results["encode_steady_mb_s"] = test_bytes_w / 1e6 / enc_warm
+    results["encode_steady_mb_s"] = test_bytes / 1e6 / enc_warm
     total_tokens = sum(len(ids) for ids in encoded)
     total_chars = sum(len(s.decode("utf-8", "replace")) for s in test)
-    test_bytes = sum(len(s) for s in test)
     results["chars_per_token"] = total_chars / max(total_tokens, 1)
     results["encode_mb_s"] = test_bytes / 1e6 / enc_dt
     print(json.dumps({"stage": "evaluate",

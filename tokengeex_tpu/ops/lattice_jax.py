@@ -1055,22 +1055,18 @@ def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
               drop_u=None, dropout=0.0, backend="xla", probe=None,
               cache=None, carry=None, A=None, Bt=None, seg=None,
               slot_rows=None):
-    dt_args = _dt_args(tbl)
-    meta = _dt_meta(tbl)
+    # Resolve the probe mode HERE and pass it explicitly: dt_call_args
+    # swaps the scores array (and a missing bucket table) for stable
+    # placeholders in non-exact modes, and dt_static_meta blanks
+    # vocab_size — otherwise every vocabulary rebind would re-key the
+    # jit cache and recompile (see those helpers).
     mode = probe or _probe_mode(tbl, dtype)
-    if mode != "exact":
-        # The f32 probe paths never read tbl.scores or tbl.vocab_size
-        # in traced code (scores live inside the row tables); passing
-        # the real (V,) array and V as static would RE-KEY the jit
-        # cache on every vocabulary rebind — a full recompile per EM
-        # sub-iteration. Substitute stable placeholders instead.
-        dt_args = dt_args[:4] + (_SCORES_PLACEHOLDER,) + dt_args[5:]
-        meta = meta[:2] + (-1,) + meta[3:]
     return _op_worker(
-        dt_args, _batch_args(batch), cache, drop_u, carry, A, Bt,
-        seg, slot_rows, meta=meta, width=batch.width,
+        dt_call_args(tbl, dtype, mode), _batch_args(batch), cache,
+        drop_u, carry, A, Bt, seg, slot_rows,
+        meta=dt_static_meta(tbl, dtype, mode), width=batch.width,
         pad=batch.pad, op=op, C=C, unroll=unroll, dtype=dtype,
-        backend=backend, probe=probe, dropout=float(dropout))
+        backend=backend, probe=mode, dropout=float(dropout))
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,

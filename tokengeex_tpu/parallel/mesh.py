@@ -43,6 +43,19 @@ def _shard_map():
         return jax.shard_map
 
 
+# Compiled sharded fns keyed by (factory, mesh identity, static
+# config). The factories are called freshly by encode_corpus_device /
+# run_e_step_device on EVERY pass (e.g. each merge round); a fresh
+# jax.jit wrapper has an empty cache, so without this every pass
+# retraces and recompiles the multi-chip program even though shapes and
+# table args are stable.
+_FN_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    return (tuple(int(d.id) for d in mesh.devices.flat), mesh.axis_names)
+
+
 def get_mesh(n_devices: Optional[int] = None, axis: str = "data"):
     import jax
     from jax.sharding import Mesh
@@ -93,6 +106,10 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     L = dt.max_len
     mode = probe or lj._probe_mode(dt, dtype)
     meta = lj.dt_static_meta(dt, dtype, probe)
+    ck = ("e_step", _mesh_key(mesh), width, chunk, str(dtype),
+          float(dropout), kernel, mode, meta, with_cache)
+    if ck in _FN_CACHE:
+        return _FN_CACHE[ck]
 
     def local_step(t1f, t2f, t1e, t2e, sc, tb,
                    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
@@ -136,7 +153,8 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
         in_specs=in_specs,
         out_specs=(P(axis), P()),
     )
-    return jax.jit(sharded)
+    _FN_CACHE[ck] = jax.jit(sharded)
+    return _FN_CACHE[ck]
 
 
 def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
@@ -155,6 +173,10 @@ def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
     L = dt.max_len
     mode = probe or lj._probe_mode(dt, dtype)
     meta = lj.dt_static_meta(dt, dtype, probe)
+    ck = ("match_cache", _mesh_key(mesh), width, chunk, str(dtype),
+          mode, meta)
+    if ck in _FN_CACHE:
+        return _FN_CACHE[ck]
 
     def local_step(t1f, t2f, t1e, t2e, sc, tb,
                    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
@@ -172,7 +194,8 @@ def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
         in_specs=(P(),) * 6 + (P(axis),) * 6 + (P(), P()),
         out_specs=(P(axis), P(axis)),
     )
-    return jax.jit(sharded)
+    _FN_CACHE[ck] = jax.jit(sharded)
+    return _FN_CACHE[ck]
 
 
 def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
@@ -197,6 +220,10 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
     L = dt.max_len
     mode = probe or lj._probe_mode(dt, dtype)
     meta = lj.dt_static_meta(dt, dtype, probe)
+    ck = ("viterbi", _mesh_key(mesh), width, chunk, str(dtype),
+          float(dropout), kernel, mode, meta, chained, with_cache)
+    if ck in _FN_CACHE:
+        return _FN_CACHE[ck]
 
     def local_step(t1f, t2f, t1e, t2e, sc, tb,
                    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
@@ -232,7 +259,8 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
         in_specs=in_specs,
         out_specs=(P(axis), P(axis)),
     )
-    return jax.jit(sharded)
+    _FN_CACHE[ck] = jax.jit(sharded)
+    return _FN_CACHE[ck]
 
 
 # ---------------------------------------------------------------------------

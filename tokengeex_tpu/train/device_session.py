@@ -148,22 +148,11 @@ class DeviceTrainSession:
 
     def _groups(self):
         from . import estep_device as ed
-        from ..parallel import mesh as pmesh
 
-        target = None
-        for gi, (r0, r1) in enumerate(
-                ed._row_groups(self.packed, self.width)):
-            sub = ed._slice_packed(self.packed, r0, r1)
-            if self.use_mesh or self.kernel == "pallas":
-                sub = pmesh.pad_rows_to_multiple(sub, self.row_mult)
-            if target is None:
-                target = sub.rows
-            elif sub.rows < target:
-                # Uniform row count: the trailing group would otherwise
-                # compile a SECOND executable for every pass variant
-                # (minutes apiece through a remote-compile relay).
-                sub = pmesh.pad_rows_to_multiple(sub, target)
-            yield gi, sub
+        yield from ed._padded_groups(
+            self.packed, self.width,
+            self.row_mult if (self.use_mesh or self.kernel == "pallas")
+            else 1)
 
     def _batch_for(self, gi: int, sub):
         if gi in self.input_cache:

@@ -298,7 +298,15 @@ def encode_corpus_device(
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
 
-    if corpus is not None and n_proc == 1:
+    if corpus is not None and (
+            n_proc > 1
+            or corpus.samples is not samples
+            or corpus.kernel != kernel
+            or corpus.req_max_width != max_width):
+        # Built for different samples / layout: silently falling back
+        # to a fresh pack is correct; reusing would misassign spans.
+        corpus = None
+    if corpus is not None:
         cap = corpus.cap
         long_idx = corpus.long_idx
         width = corpus.width
@@ -606,6 +614,8 @@ class DeviceCorpus:
         import jax
 
         kernel = kernel or _default_backend()
+        self.kernel = kernel
+        self.req_max_width = max_width
         cap = max_width or MAX_ENCODE_WIDTH
         self.cap = max(CHUNK, -(-cap // CHUNK) * CHUNK)
         self.samples = samples

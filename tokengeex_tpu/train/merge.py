@@ -56,13 +56,22 @@ class VocabularyMerger:
             allow_ok = lambda text: bool(allow_re.search(text))  # noqa: E731
         ignore: Set[Tuple[int, int]] = set()
         start_vocab_size = model.vocab_size()
+        # Table-shape hints for the FINAL merge state, computed ONCE:
+        # recomputing from the grown vocab each round would let the
+        # hinted bits cross a power boundary mid-loop and recompile the
+        # whole encode pipeline.
+        import numpy as _np
+
+        final_v = start_vocab_size + max(self.num_merges, 0)
+        hints = (max(8, int(_np.ceil(_np.log2(max(final_v, 2)))) + 1),
+                 self.max_token_length)
 
         while model.vocab_size() < start_vocab_size + self.num_merges:
             done = model.vocab_size() - start_vocab_size
             task = Task(f"BPE Merge {done}/{self.num_merges}", len(samples))
             task.start()
             try:
-                pairs = self._count_pairs(model, samples, task)
+                pairs = self._count_pairs(model, samples, task, hints)
             finally:
                 task.finish()
 
@@ -103,7 +112,7 @@ class VocabularyMerger:
                 break
         return model
 
-    def _count_pairs(self, model: Model, samples, task):
+    def _count_pairs(self, model: Model, samples, task, hints=None):
         """Sorted [(pair, freq)] desc (reference: src/merge.rs:53-84)."""
         backend = self.backend
         if backend == "auto":
@@ -115,17 +124,8 @@ class VocabularyMerger:
             except Exception:
                 pass
         if backend == "device":
-            import numpy as np
-
             from .estep_device import DeviceCorpus, count_pairs_device
 
-            # Shape hints for the FINAL merge state: merged tokens grow
-            # the max token length toward max_token_length and the
-            # vocabulary toward start + num_merges; stable shapes mean
-            # one compile serves every merge batch.
-            final_v = model.vocab_size() + max(self.num_merges, 0)
-            hints = (max(8, int(np.ceil(np.log2(max(final_v, 2)))) + 1),
-                     self.max_token_length)
             if self._corpus is None or self._corpus.samples is not samples:
                 # Pack + upload the corpus ONCE for the whole merge
                 # loop; every batch re-encodes the same bytes.
