@@ -96,6 +96,31 @@ def test_session_mesh_fns_survive_rebind(setup):
     np.testing.assert_allclose(e_reused, want, rtol=3e-3, atol=1e-3)
 
 
+def test_session_fused_singledevice_dropout_matches_mesh(setup):
+    # The single-device path fuses each group into one estep_cached
+    # dispatch and expands the dropout KEY inside the graph; with the
+    # same seed it must reproduce the mesh path's counts (both expand
+    # the same per-group key to the same (B, sid_w) shape).
+    model, samples = setup
+    mesh_sess = DeviceTrainSession(model, samples, max_snippet=256)
+    e_mesh = mesh_sess.e_step(model, 0.3, 7)
+
+    single = DeviceTrainSession(model, samples, max_snippet=256)
+    single.use_mesh = False
+    single.n_dev = 1
+    single.row_mult = 1
+    # The comparison needs identical group shapes (drop bits depend on
+    # the (B, sid_w) expansion shape); this corpus packs to a row count
+    # that is already a multiple of the mesh padding.
+    assert [sub.rows for _, sub in single._groups()] == \
+        [sub.rows for _, sub in mesh_sess._groups()]
+    e_single = single.e_step(model, 0.3, 7)
+    # pass 2 exercises the fused estep_cached branch (slots cached).
+    e_single2 = single.e_step(model, 0.3, 7)
+    np.testing.assert_allclose(e_single, e_mesh, rtol=2e-3, atol=1e-3)
+    np.testing.assert_array_equal(e_single, e_single2)
+
+
 def test_session_count_frequencies(setup):
     model, samples = setup
     # One sample longer than max_snippet exercises the unchunked

@@ -975,6 +975,14 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
                backend, probe, dropout):
     tbl = _rebuild_dt(dt_arrs, meta)
     batch = _rebuild_batch(batch_arrs, width, pad)
+    if drop_u is not None and drop_u.ndim == 1 and dropout > 0.0:
+        # A (2,) PRNG key instead of a materialized (B, sid_w) random
+        # array: expand it INSIDE the fused graph (same key + shape =>
+        # the same bits as a host-side jax.random.randint, with no
+        # separate dispatch or HBM round-trip).
+        drop_u = jax.random.randint(
+            drop_u, (batch.p1.shape[0], batch.sid.shape[1]),
+            minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32)
     if op == "match_cache":
         return _match_cache_impl(tbl, batch, C, dtype, drop_u, dropout,
                                  probe)

@@ -242,10 +242,16 @@ class DeviceTrainSession:
             drop_u = None
             if dropout > 0.0:
                 key, sub_key = jax.random.split(key)
-                drop_u = jax.random.randint(
-                    sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
-                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
-                )
+                if self.use_mesh:
+                    # The sharded fns take a row-sharded random array.
+                    drop_u = jax.random.randint(
+                        sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
+                        minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+                    )
+                else:
+                    # Single-device fused ops expand the KEY inside the
+                    # graph (same bits, one less dispatch per group).
+                    drop_u = sub_key
             if self.use_mesh:
                 # The sharded fns mask the cached scores per chunk from
                 # drop_u inside the scans — a full-width masked copy
