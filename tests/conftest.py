@@ -37,3 +37,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Conformance-grade tests request float64 explicitly; without x64 JAX
+# silently downcasts them to f32 (observed as ~1e-8 error in what
+# should be 1e-12-exact analytic marginals). Enable it globally so a
+# single-file test run behaves like the full suite; f32 paths request
+# their dtype explicitly and are unaffected.
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -60,6 +60,51 @@ def test_nbest_two_best_of_own_token():
     assert got == [[2], [0, 1]]  # [ab], then [a, b] at -4.1
 
 
+def test_estep_marginals_analytic():
+    # reference: src/lattice.rs:245-312 (forward/backward marginals).
+    # Vocab {a:-1.0, b:-1.5, ab:-2.0} on "ab" has exactly two paths:
+    #   a|b : exp(-2.5), ab : exp(-2.0); Z = e^-2 + e^-2.5.
+    # Expected counts are the path posteriors:
+    #   E[a] = E[b] = e^-2.5 / Z, E[ab] = e^-2 / Z.
+    import math
+
+    vocab = [
+        ScoredToken(b"a", -1.0),
+        ScoredToken(b"b", -1.5),
+        ScoredToken(b"ab", -2.0),
+    ]
+    z = math.exp(-2.0) + math.exp(-2.5)
+    p_split = math.exp(-2.5) / z
+    p_whole = math.exp(-2.0) / z
+    want = np.array([p_split, p_split, p_whole])
+
+    oracle = OracleModel(vocab)
+    lat = Lattice(b"ab")
+    oracle.populate_nodes(lat, 0.0)
+    expected = [0.0] * len(vocab)
+    got_z = lat.populate_marginal(expected)
+    assert got_z == pytest.approx(math.log(z), rel=1e-12)
+    np.testing.assert_allclose(expected, want, rtol=1e-12)
+
+    from tokengeex_tpu.train.estep_device import run_e_step_device
+    import jax.numpy as jnp
+
+    e_dev = run_e_step_device(Model(vocab), [b"ab"], dropout=0.0,
+                              max_snippet=64, dtype=jnp.float64)
+    np.testing.assert_allclose(e_dev, want, rtol=1e-12)
+
+
+def test_mstep_digamma_analytic():
+    # reference: src/prune.rs:124-170. digamma at small integers is
+    # exact: psi(1) = -gamma, psi(2) = 1-gamma, psi(3) = 3/2-gamma, so
+    # counts [1, 2] rescore to exactly [-3/2, -1/2] (gamma cancels).
+    vocab = [ScoredToken(b"a", -9.0), ScoredToken(b"b", -9.0)]
+    pruner = VocabularyPruner(vocab_size=2, backend="oracle")
+    out = pruner.run_m_step(Model(vocab), np.array([1.0, 2.0]))
+    assert out[0].score == pytest.approx(-1.5, abs=1e-12)
+    assert out[1].score == pytest.approx(-0.5, abs=1e-12)
+
+
 def test_prune_loss_golden(monkeypatch):
     # reference: src/prune.rs:245-320, with every branch pinned:
     #   keep=True        -> kept unconditionally
