@@ -121,6 +121,39 @@ def test_session_fused_singledevice_dropout_matches_mesh(setup):
     np.testing.assert_array_equal(e_single, e_single2)
 
 
+def test_no_recompiles_across_rebinds(setup):
+    # The whole point of stable-shape tables + placeholder scores: an
+    # EM pass after a vocabulary rebind must add ZERO new executables
+    # to the jit caches (a recompile costs minutes per pass through a
+    # remote-compile relay).
+    model, samples = setup
+    sess = DeviceTrainSession(model, samples, max_snippet=256)
+    rng = random.Random(21)
+
+    def shrink(m):
+        v = m.vocab
+        keep = [t.clone_with_score(t.score - rng.random())
+                for i, t in enumerate(v)
+                if len(t.value) == 1 or i % 7 != 0]
+        return Model(keep)
+
+    m1 = shrink(model)
+    m2 = shrink(m1)
+    sess.e_step(model, 0.05, 0)
+    sess.e_step(m1, 0.05, 1)  # warm every shape incl. the rebind path
+    sess.count_frequencies(m1)
+    fns = [f for k, f in sess._fns.items()
+           if k not in ("mesh",) and hasattr(f, "_cache_size")]
+    from tokengeex_tpu.ops import lattice_jax as lj
+    fns.append(lj._op_worker)
+    before = [f._cache_size() for f in fns]
+    sess.e_step(m2, 0.05, 2)
+    sess.count_frequencies(m2)
+    sess.count_frequencies(shrink(m2))
+    after = [f._cache_size() for f in fns]
+    assert after == before, (before, after)
+
+
 def test_session_count_frequencies(setup):
     model, samples = setup
     # One sample longer than max_snippet exercises the unchunked
