@@ -64,8 +64,12 @@ class DeviceTrainSession:
         self.row_mult = self.n_dev * 128 if self.kernel == "pallas" \
             else self.n_dev
         if cache_budget is None:
+            # ~half of a v5e's 16 GB HBM: a 100 MB corpus at L=15 needs
+            # ~6.2 GB of slot arrays to cache every group (4 GiB left
+            # 40% of groups re-probing each pass); transient per-group
+            # buffers stay under ~1.5 GB on top.
             cache_budget = int(os.environ.get(
-                "TGX_SLOT_CACHE_BYTES", 4 << 30))
+                "TGX_SLOT_CACHE_BYTES", 8 << 30))
         self.cache_budget = cache_budget
         self.cache_used = 0
         self.slot_cache: Dict[int, object] = {}
