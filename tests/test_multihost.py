@@ -81,9 +81,9 @@ print("done", proc_id, flush=True)
 """
 
 
-def _run_workers(tmp_path, mode, port):
-    """Launch the 2-process run and the matched single-process run
-    (2 CPU devices total in both); return (multi_out, single_out)."""
+def _run_workers(tmp_path, mode, port, n=2):
+    """Launch the n-process run and the matched single-process run
+    (n CPU devices total in both); return (multi_out, single_out)."""
     worker = str(tmp_path / "worker.py")
     with open(worker, "w") as f:
         f.write(WORKER.replace("{port}", str(port)))
@@ -101,14 +101,14 @@ def _run_workers(tmp_path, mode, port):
     single_out = str(tmp_path / f"{mode}_single.{ext}")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, mode, str(i), "2", multi_out],
+            [sys.executable, worker, mode, str(i), str(n), multi_out],
             env=env_with(1), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
+        for i in range(n)
     ]
     procs.append(subprocess.Popen(
         [sys.executable, worker, mode, "-1", "1", single_out],
-        env=env_with(2), stdout=subprocess.PIPE,
+        env=env_with(n), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True))
     for p in procs:
         stdout, _ = p.communicate(timeout=420)
@@ -145,3 +145,16 @@ def test_two_process_prune_end_to_end(tmp_path):
     # scores (repr round-trips f64 exactly), same keep flags.
     assert vocab_multi == vocab_single
     assert len(vocab_multi) <= 45 + 8  # pruned to target (+keep bytes)
+
+
+@pytest.mark.skipif(os.environ.get("TGX_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_four_process_estep_bit_exact(tmp_path):
+    # DCN-shaped scaling: 4 processes x 1 device each vs one process
+    # with 4 devices — same global partition, f64 counts bit-for-bit.
+    multi_out, single_out = _run_workers(tmp_path, "estep", _free_port(),
+                                         n=4)
+    expected_multi = np.load(multi_out)
+    expected_single = np.load(single_out)
+    np.testing.assert_array_equal(expected_multi, expected_single)
+    assert expected_multi.sum() > 0
