@@ -15,6 +15,7 @@ Env knobs: TGX_BENCH_MB (corpus size, default 8), TGX_BENCH_VOCAB
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,6 +24,34 @@ import numpy as np
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def _ensure_reachable_backend():
+    """If the remote TPU tunnel is down, jax.devices() blocks forever
+    in a reconnect loop; probe it in a subprocess with a timeout and
+    fall back to the CPU backend so the benchmark always completes."""
+    if os.environ.get("_TGX_BENCH_PROBED") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, check=True, capture_output=True)
+        os.environ["_TGX_BENCH_PROBED"] = "1"
+        return
+    except Exception:
+        log("device backend unreachable (tunnel down?); "
+            "re-running on the CPU backend")
+    env = dict(os.environ)
+    env["_TGX_BENCH_PROBED"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+         if p and "axon" not in p])
+    raise SystemExit(subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env).returncode)
 
 
 def build_corpus(nbytes: int):
@@ -63,6 +92,7 @@ def build_corpus(nbytes: int):
 
 
 def main():
+    _ensure_reachable_backend()
     corpus_mb = float(os.environ.get("TGX_BENCH_MB", "8"))
     vocab_size = int(os.environ.get("TGX_BENCH_VOCAB", "4096"))
     width = int(os.environ.get("TGX_BENCH_WIDTH", "8192"))
