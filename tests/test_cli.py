@@ -109,6 +109,10 @@ def test_full_pipeline(corpus):
     r = run_cli("decode", "-v", vocab3, "-i", ",".join(map(str, ids)))
     assert r.returncode == 0, r.stderr
     assert r.stdout.rstrip("\n") == "def return value<|eos|>"
+    # decode must also accept encode's own JSON list output verbatim.
+    r = run_cli("decode", "-v", vocab3, "-i", json.dumps(ids))
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.rstrip("\n") == "def return value<|eos|>"
 
 
 def test_mine_command(corpus):

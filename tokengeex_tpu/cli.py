@@ -313,7 +313,11 @@ def cmd_decode(args) -> None:
     """Implemented (reference leaves this todo!(), src/cli.rs:740-742)."""
     tokenizer = Tokenizer.from_file(args.vocab)
     raw = args.input if args.input is not None else sys.stdin.read()
-    ids = [int(x) for x in raw.replace(",", " ").split()]
+    # Accept `encode`'s own JSON list output as well as bare
+    # space/comma-separated ids.
+    for ch in "[],":
+        raw = raw.replace(ch, " ")
+    ids = [int(x) for x in raw.split()]
     print(tokenizer.decode(ids, include_special_tokens=True))
 
 
