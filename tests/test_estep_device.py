@@ -75,6 +75,25 @@ def test_device_count_pairs(setup, monkeypatch):
     assert pairs == want
 
 
+def test_device_corpus_reuse_and_mismatch_fallback(setup):
+    # A DeviceCorpus reused across models gives identical encodes to a
+    # fresh pack; a corpus built for DIFFERENT samples must be ignored
+    # (silent span misassignment otherwise), not trusted.
+    model, samples = setup
+    sub = samples[:10]
+    corpus = ed.DeviceCorpus(sub)
+    got = ed.encode_corpus_device(model, sub, corpus=corpus)
+    want = ed.encode_corpus_device(model, sub)
+    assert got == want
+    # Second pass reuses the cached inputs.
+    got2 = ed.encode_corpus_device(model, sub, corpus=corpus)
+    assert got2 == want
+    # Mismatched samples: falls back to a fresh pack, stays correct.
+    other = samples[10:16]
+    got3 = ed.encode_corpus_device(model, other, corpus=corpus)
+    assert got3 == ed.encode_corpus_device(model, other)
+
+
 def test_device_estep_with_dropout_is_sane(setup, monkeypatch):
     model, samples = setup
     monkeypatch.setattr(ed, "CHUNK", 128)
