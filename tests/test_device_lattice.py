@@ -191,6 +191,12 @@ def test_segsum_matches_scatter_backward(dropout):
         dt, batch, C=32, dtype=jnp.float32, cache=(score, slots),
         drop_u=drop_u, dropout=dropout)
     seg = lj.build_seg_struct(slots, lj.seg_nbins(dt, jnp.float32))
+    # The hit lists are compacted to a power-of-two capacity: tail
+    # misses must not survive truncation.
+    B, L, W = slots.shape
+    assert seg.perm.shape[1] <= B * W
+    assert seg.perm.shape[1] % 128 == 0
+    assert int(np.max(np.asarray(seg.n_hit))) <= seg.perm.shape[1]
     got = lj.segsum_expected(
         dt, batch, A, Bt, seg, lj.slot_score_rows(dt),
         drop_u=drop_u, dropout=dropout, dtype=jnp.float32)

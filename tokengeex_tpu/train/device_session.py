@@ -218,10 +218,14 @@ class DeviceTrainSession:
             return None
         B, L, W = slots.shape
         nbins = lj.seg_nbins(self.dt, self.dtype)
-        est = lj.SegStruct.est_bytes(B, L, W, nbins)
+        # Optimistic pre-check (compaction typically shrinks the hit
+        # lists >= 4x); the ACTUAL size gates caching after the build.
+        est = lj.SegStruct.est_bytes(B, L, W, nbins) // 4
         if self.cache_used + est > self.cache_budget:
             return None
         seg = lj.build_seg_struct(slots, nbins)
+        if self.cache_used + seg.nbytes() > self.cache_budget:
+            return None  # compaction didn't shrink enough; discard
         self.seg_cache[gi] = seg
         self.cache_used += seg.nbytes()
         return seg
