@@ -151,12 +151,40 @@ class DeviceTrainSession:
     # -- Group machinery ----------------------------------------------------
 
     def _groups(self):
-        from . import estep_device as ed
+        # Materialized once: re-slicing the span list per group per
+        # pass is O(groups x spans) of Python per E-step at corpus
+        # scale. The padded subs are deterministic for the session.
+        if getattr(self, "_group_list", None) is None:
+            from . import estep_device as ed
 
-        yield from ed._padded_groups(
-            self.packed, self.width,
-            self.row_mult if (self.use_mesh or self.kernel == "pallas")
-            else 1)
+            self._group_list = list(ed._padded_groups(
+                self.packed, self.width,
+                self.row_mult if (self.use_mesh or self.kernel == "pallas")
+                else 1))
+            self._span_idx: Dict[int, tuple] = {}
+        return self._group_list
+
+    def _span_arrays(self, gi: int, sub):
+        """Cached per-group span bookkeeping: z-check indices, byte and
+        sample tallies, and the short-sample ("whole") subset used by
+        the frequency pass — all O(spans) Python work that would
+        otherwise repeat every pass."""
+        if gi not in self._span_idx:
+            rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
+            ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
+            long_set = {si for si, s in enumerate(self.samples)
+                        if len(s) > self.max_snippet}
+            whole = [sp for sp in sub.spans if sp[3] not in long_set]
+            self._span_idx[gi] = {
+                "z": (rows_idx, ends_idx),
+                "nbytes": sum(e - s for (_, s, e, _, _) in sub.spans),
+                "nsamples": len({si for (_, _, _, si, _) in sub.spans}),
+                "whole": whole,
+                "whole_rows": np.asarray([r for (r, _, _, _, _) in whole]),
+                "whole_ends": np.asarray(
+                    [max(e - 1, 0) for (_, _, e, _, _) in whole]),
+            }
+        return self._span_idx[gi]
 
     def _batch_for(self, gi: int, sub):
         if gi in self.input_cache:
@@ -310,14 +338,12 @@ class DeviceTrainSession:
                 # does not round-trip through the axon relay).
                 jax.device_get(acc[:1])
             if sub.spans:
-                rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
-                ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
+                info = self._span_arrays(gi, sub)
+                rows_idx, ends_idx = info["z"]
                 z_checks.append((lj.pick_span_values_device(
                     A, rows_idx, ends_idx), sub.spans))
-            if task is not None:
-                nbytes = sum(e - s for (_, s, e, _, _) in sub.spans)
-                task.record(nbytes,
-                            len({si for (_, _, _, si, _) in sub.spans}))
+                if task is not None:
+                    task.record(info["nbytes"], info["nsamples"])
         expected = lj.fold_expected(self.dt, acc) if acc is not None \
             else np.zeros(self.dt.vocab_size, dtype=np.float64)
         for z_dev, spans in z_checks:
@@ -390,13 +416,11 @@ class DeviceTrainSession:
                                         dtype=self.dtype,
                                         backend=self.kernel,
                                         cache=(score, slots))
-            spans_whole = [sp for sp in sub.spans if sp[3] not in long_set]
+            info = self._span_arrays(gi, sub)
+            spans_whole = info["whole"]
             if spans_whole:
-                rows_idx = np.asarray([r for (r, _, _, _, _) in spans_whole])
-                ends_idx = np.asarray(
-                    [e - 1 for (_, _, e, _, _) in spans_whole])
                 dp_ends_dev = lj.pick_span_values_device(
-                    dp, rows_idx, np.maximum(ends_idx, 0))
+                    dp, info["whole_rows"], info["whole_ends"])
             else:
                 dp_ends_dev = None
             nxt = (sub, dp_ends_dev, best_l.astype(jnp.int8), spans_whole)
