@@ -650,14 +650,20 @@ def count_pairs_device(model: Model, samples: Sequence[bytes], task=None,
     encoded = encode_corpus_device(model, samples, task,
                                    table_hints=table_hints,
                                    corpus=corpus)
-    from collections import Counter
-
-    counts: Counter = Counter()
-    for ids in encoded:
-        if ids and len(ids) > 1:
-            arr = np.asarray(ids, dtype=np.int64)
-            keys = arr[:-1] << 32 | arr[1:]
-            uniq, cnt = np.unique(keys, return_counts=True)
-            for k, c in zip(uniq.tolist(), cnt.tolist()):
-                counts[(k >> 32, k & 0xFFFFFFFF)] += c
-    return sorted(counts.items(), key=lambda kv: -kv[1])
+    # One global vectorized pair count: concatenate all id streams,
+    # mask the pairs that straddle sample boundaries, unique once (a
+    # per-sample Counter loop costs O(tokens) of Python dict work).
+    seqs = [np.asarray(ids, dtype=np.int64)
+            for ids in encoded if ids and len(ids) > 1]
+    if not seqs:
+        return []
+    big = np.concatenate(seqs)
+    ends = np.cumsum(
+        np.fromiter((len(a) for a in seqs), np.int64, len(seqs)))
+    keys = (big[:-1] << 32) | big[1:]
+    mask = np.ones(len(big) - 1, dtype=bool)
+    mask[ends[:-1] - 1] = False  # last id of a sample pairs with nothing
+    uniq, cnt = np.unique(keys[mask], return_counts=True)
+    order = np.argsort(-cnt, kind="stable")
+    return [((int(k) >> 32, int(k) & 0xFFFFFFFF), int(c))
+            for k, c in zip(uniq[order], cnt[order])]
