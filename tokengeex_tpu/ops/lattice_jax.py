@@ -1736,6 +1736,49 @@ def backtrack(
     return out
 
 
+def backtrack_freq_counts(
+    packed: PackedBatch,
+    dp: np.ndarray,
+    best_l: np.ndarray,
+    vocab_size: int,
+    token_to_id,
+    native_model=None,
+) -> np.ndarray:
+    """Per-token occurrence counts over all spans — the frequency
+    pass's reduction. With the native backtrack this is ONE flat id
+    buffer + a bincount (no per-span Python lists); falls back to the
+    list-based backtrack otherwise. Raises NoPath like backtrack()."""
+    freqs = np.zeros(vocab_size, dtype=np.int64)
+    if not packed.spans:
+        return freqs
+    if native_model is not None:
+        n = len(packed.spans)
+        sr = np.fromiter((sp[0] for sp in packed.spans), np.int64, n)
+        ss = np.fromiter((sp[1] for sp in packed.spans), np.int64, n)
+        se = np.fromiter((sp[2] for sp in packed.spans), np.int64, n)
+        per_span_dp = dp.ndim == 1
+        dpe = dp[:n] if per_span_dp else dp[sr, np.maximum(se - 1, 0)]
+        ok = np.isfinite(dpe)
+        flat, lens, offs = native_model.backtrack_ids(
+            packed.bytes_arr, best_l, sr, ss, se, ok.astype(np.uint8))
+        if (lens == -1).any():
+            k = int(np.nonzero(lens == -1)[0][0])
+            raise NoPathError(int(se[k] - ss[k]), int(se[k] - ss[k]))
+        if (lens == -2).any():
+            raise RuntimeError("native backtrack: inconsistent "
+                               "backpointers; model/table mismatch")
+        sizes = np.diff(offs)  # byte capacity per span region
+        pos = np.arange(int(offs[-1]), dtype=np.int64) \
+            - np.repeat(offs[:-1], sizes)
+        valid = pos < np.repeat(lens, sizes)
+        return np.bincount(flat[: int(offs[-1])][valid],
+                           minlength=vocab_size).astype(np.int64)
+    for ids in backtrack(packed, dp, best_l, token_to_id):
+        if ids:
+            np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+    return freqs
+
+
 def reassemble(packed: PackedBatch, per_span: List, num_samples: int) -> List:
     """Concatenate per-snippet results back into per-sample results."""
     buckets: dict = {}

@@ -388,10 +388,9 @@ class DeviceTrainSession:
                 if spans_whole else np.zeros(0, dtype=np.float32)
             view = PackedBatch(sub.bytes_arr, sub.sample_id, sub.is_start,
                                sub.end_index, spans_whole)
-            for ids in lj.backtrack(view, dp_ends, best_l_host,
-                                    token_to_id, native_model=nm):
-                if ids:
-                    np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+            freqs[:] += lj.backtrack_freq_counts(
+                view, dp_ends, best_l_host, V, token_to_id,
+                native_model=nm)
             if task is not None:
                 nbytes = sum(e - s for (_, s, e, _, _) in spans_whole)
                 task.record(nbytes,
