@@ -8,6 +8,7 @@ non-UTF-8 samples.
 """
 
 import math
+import os
 import random
 
 import jax
@@ -50,7 +51,11 @@ def _fuzz_case(seed):
     return vocab, samples
 
 
-@pytest.mark.parametrize("seed", [7, 1234])
+# TGX_FUZZ_SEEDS widens the sweep (e.g. nightly CI: TGX_FUZZ_SEEDS=32).
+_N_SEEDS = int(os.environ.get("TGX_FUZZ_SEEDS", "2"))
+
+
+@pytest.mark.parametrize("seed", [7, 1234] + list(range(2, _N_SEEDS)))
 def test_fuzz_oracle_native_device(seed):
     vocab, samples = _fuzz_case(seed)
     oracle = OracleModel(vocab)
