@@ -32,7 +32,8 @@ def _ensure_reachable_backend():
     fall back to the CPU backend so the benchmark always completes."""
     if os.environ.get("_TGX_BENCH_PROBED") == "1":
         return
-    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", "") \
+            and not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
     try:
         subprocess.run(

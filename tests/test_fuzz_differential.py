@@ -55,7 +55,9 @@ def _fuzz_case(seed):
 _N_SEEDS = int(os.environ.get("TGX_FUZZ_SEEDS", "2"))
 
 
-@pytest.mark.parametrize("seed", [7, 1234] + list(range(2, _N_SEEDS)))
+@pytest.mark.parametrize(
+    "seed", [7, 1234] + [s for s in range(2, _N_SEEDS)
+                         if s not in (7, 1234)])
 def test_fuzz_oracle_native_device(seed):
     vocab, samples = _fuzz_case(seed)
     oracle = OracleModel(vocab)

@@ -314,10 +314,15 @@ def cmd_decode(args) -> None:
     tokenizer = Tokenizer.from_file(args.vocab)
     raw = args.input if args.input is not None else sys.stdin.read()
     # Accept `encode`'s own JSON list output as well as bare
-    # space/comma-separated ids.
-    for ch in "[],":
-        raw = raw.replace(ch, " ")
-    ids = [int(x) for x in raw.split()]
+    # space/comma-separated ids; reject anything else (a nested list
+    # would otherwise silently flatten).
+    try:
+        ids = json.loads(raw)
+    except ValueError:
+        ids = [int(x) for x in raw.replace(",", " ").split()]
+    if not isinstance(ids, list) or \
+            not all(isinstance(x, int) for x in ids):
+        sys.exit("decode: input must be a flat list of token ids")
     print(tokenizer.decode(ids, include_special_tokens=True))
 
 

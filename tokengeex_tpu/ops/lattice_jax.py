@@ -1664,6 +1664,29 @@ def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _native_flat_backtrack(packed: PackedBatch, dp: np.ndarray,
+                           best_l: np.ndarray, native_model):
+    """Shared marshalling for tg_backtrack_ids: span arrays + finite-dp
+    flags in, (flat_ids, lens, offs, span_lengths) out. lens -1 marks
+    NoPath spans (caller policy); an inconsistent-backpointer -2
+    raises here."""
+    n = len(packed.spans)
+    sr = np.fromiter((sp[0] for sp in packed.spans), np.int64, n)
+    ss = np.fromiter((sp[1] for sp in packed.spans), np.int64, n)
+    se = np.fromiter((sp[2] for sp in packed.spans), np.int64, n)
+    per_span_dp = dp.ndim == 1
+    dpe = dp[:n] if per_span_dp else dp[sr, np.maximum(se - 1, 0)]
+    ok = np.isfinite(dpe)
+    flat, lens, offs = native_model.backtrack_ids(
+        packed.bytes_arr, best_l, sr, ss, se, ok.astype(np.uint8))
+    if (lens == -2).any():
+        k = int(np.nonzero(lens == -2)[0][0])
+        raise RuntimeError(
+            "native backtrack: inconsistent backpointers "
+            f"(span {k}); model/table mismatch")
+    return flat, lens, offs, se - ss
+
+
 def backtrack(
     packed: PackedBatch,
     dp: np.ndarray,
@@ -1690,26 +1713,15 @@ def backtrack(
         # later-id-overwrite lookup matches token_to_id exactly; the
         # Python loop below costs ~1-2us/token and bounds the
         # frequency/merge/encode passes at corpus scale.
-        n = len(packed.spans)
-        sr = np.fromiter((sp[0] for sp in packed.spans), np.int64, n)
-        ss = np.fromiter((sp[1] for sp in packed.spans), np.int64, n)
-        se = np.fromiter((sp[2] for sp in packed.spans), np.int64, n)
-        dpe = dp[:n] if per_span_dp else dp[sr, np.maximum(se - 1, 0)]
-        ok = np.isfinite(dpe)
-        flat, lens, offs = native_model.backtrack_ids(
-            rows, best_l, sr, ss, se, ok.astype(np.uint8))
+        flat, lens, offs, span_len = _native_flat_backtrack(
+            packed, dp, best_l, native_model)
         out_n: List[Optional[List[int]]] = []
-        for k in range(n):
+        for k in range(len(packed.spans)):
             c = int(lens[k])
             if c == -1:
                 if raise_no_path:
-                    raise NoPathError(int(se[k] - ss[k]),
-                                      int(se[k] - ss[k]))
+                    raise NoPathError(int(span_len[k]), int(span_len[k]))
                 out_n.append(None)
-            elif c == -2:
-                raise RuntimeError(
-                    "native backtrack: inconsistent backpointers "
-                    f"(span {k}); model/table mismatch")
             else:
                 out_n.append(flat[offs[k] : offs[k] + c].tolist())
         return out_n
@@ -1752,21 +1764,11 @@ def backtrack_freq_counts(
     if not packed.spans:
         return freqs
     if native_model is not None:
-        n = len(packed.spans)
-        sr = np.fromiter((sp[0] for sp in packed.spans), np.int64, n)
-        ss = np.fromiter((sp[1] for sp in packed.spans), np.int64, n)
-        se = np.fromiter((sp[2] for sp in packed.spans), np.int64, n)
-        per_span_dp = dp.ndim == 1
-        dpe = dp[:n] if per_span_dp else dp[sr, np.maximum(se - 1, 0)]
-        ok = np.isfinite(dpe)
-        flat, lens, offs = native_model.backtrack_ids(
-            packed.bytes_arr, best_l, sr, ss, se, ok.astype(np.uint8))
+        flat, lens, offs, span_len = _native_flat_backtrack(
+            packed, dp, best_l, native_model)
         if (lens == -1).any():
             k = int(np.nonzero(lens == -1)[0][0])
-            raise NoPathError(int(se[k] - ss[k]), int(se[k] - ss[k]))
-        if (lens == -2).any():
-            raise RuntimeError("native backtrack: inconsistent "
-                               "backpointers; model/table mismatch")
+            raise NoPathError(int(span_len[k]), int(span_len[k]))
         sizes = np.diff(offs)  # byte capacity per span region
         pos = np.arange(int(offs[-1]), dtype=np.int64) \
             - np.repeat(offs[:-1], sizes)

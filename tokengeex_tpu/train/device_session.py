@@ -170,11 +170,14 @@ class DeviceTrainSession:
         the frequency pass — all O(spans) Python work that would
         otherwise repeat every pass."""
         if gi not in self._span_idx:
+            if not hasattr(self, "_long_set"):
+                # Once per session, NOT per group: a full corpus scan
+                # per group is O(groups x samples).
+                self._long_set = {si for si, s in enumerate(self.samples)
+                                  if len(s) > self.max_snippet}
             rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
             ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
-            long_set = {si for si, s in enumerate(self.samples)
-                        if len(s) > self.max_snippet}
-            whole = [sp for sp in sub.spans if sp[3] not in long_set]
+            whole = [sp for sp in sub.spans if sp[3] not in self._long_set]
             self._span_idx[gi] = {
                 "z": (rows_idx, ends_idx),
                 "nbytes": sum(e - s for (_, s, e, _, _) in sub.spans),
@@ -253,7 +256,11 @@ class DeviceTrainSession:
             return None
         seg = lj.build_seg_struct(slots, nbins)
         if self.cache_used + seg.nbytes() > self.cache_budget:
-            return None  # compaction didn't shrink enough; discard
+            # Memoize the failure: rebuilding (L device argsorts + a
+            # host sync) and re-discarding every pass would be pure
+            # waste. seg_cache[gi] = None short-circuits future calls.
+            self.seg_cache[gi] = None
+            return None
         self.seg_cache[gi] = seg
         self.cache_used += seg.nbytes()
         return seg
