@@ -298,6 +298,8 @@ def main():
         "value": round(dev_rate, 1),
         "unit": "bytes/s",
         "vs_baseline": round(vs, 4),
+        "platform": platform,
+        "fallback": platform != "tpu",
         "roofline_fraction": round(dev_rate / gather_roofline, 4)
         if platform == "tpu" else None,
     }))

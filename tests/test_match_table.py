@@ -220,3 +220,45 @@ def test_bucket_probe_matches_fast_probe():
     # Same-precision comparison (f32 near-ties can differ from the f64
     # native on this rescored vocab; the f64 parity is tested elsewhere).
     assert got2 == ed.encode_corpus_device(m2, samples)
+
+
+def test_score_from_slots_normalizes_removed_slots():
+    # ADVICE r2 (medium): empty/rebind-removed slots store a FINITE
+    # -3.0e38 sentinel in the score column; score_from_slots must map
+    # anything <= -1.0e38 to -inf exactly like _match_slab, or the
+    # cached-slot session paths see a finite z on a genuine NoPath and
+    # Viterbi backtracks garbage backpointers.
+    import random
+
+    from tokengeex_tpu.utils.packing import pack_samples
+
+    rng = random.Random(7)
+    vocab = [ScoredToken(bytes([b]), -3.0) for b in b"abcdef"]
+    seen = {t.value for t in vocab}
+    while len(vocab) < 40:
+        w = bytes(rng.choice(b"abcdef") for _ in range(rng.randint(2, 5)))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(ScoredToken(w, rng.uniform(-9.0, -1.0)))
+    tbl = mt.TokenTable.build(vocab)
+    dt = lj.DeviceTables.from_table(tbl)
+    samples = [bytes(rng.choice(b"abcdef") for _ in range(60))
+               for _ in range(4)]
+    packed = pack_samples(samples, width=128)
+    batch = lj.prepare_batch(packed, dt.max_len)
+    _, slots = lj.match_cache(dt, batch, C=128)
+
+    # Rebind with every multi-byte token removed: cached slots now point
+    # at cleared entries.
+    vocab2 = [t for t in vocab if len(t.value) == 1]
+    dt2 = lj.DeviceTables.from_table(tbl.rebind(vocab2))
+    got = np.asarray(lj.score_from_slots(lj.slot_score_rows(dt2), slots,
+                                         jnp.float32))
+    want, _ = lj.match_cache(dt2, batch, C=128)
+    np.testing.assert_array_equal(got, np.asarray(want))
+    # No finite sentinel survives.
+    assert not np.any((got <= -1.0e37) & np.isfinite(got))
+    # And both the chunked (W % C == 0, W > C) and small-W paths agree.
+    got_small = np.asarray(lj.score_from_slots(
+        lj.slot_score_rows(dt2), slots, jnp.float32, C=8))
+    np.testing.assert_array_equal(got_small, got)

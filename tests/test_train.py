@@ -25,17 +25,15 @@ def test_generate():
         suggested_tokens=["string", "map"],
         seed=0,
     )
+    # Reference fixture verbatim (src/generate.rs:261-266): "goodbye"
+    # never occurs in the samples but the constructor seeds +1 per
+    # added/suggested token (src/generate.rs:31-39), so it still gets a
+    # score of 1 * len("goodbye").
     samples = [
         "hello my name is diego and i like std::string",
         "i also like std::vector",
         "and std::vector<std::string>",
         "and std::map<int, std::string>",
-        # Deviation from the reference fixture (src/generate.rs:261-266):
-        # "goodbye" never occurs there, so the reference's own test would
-        # panic at the `.expect` in generate.rs:186 (no test CI upstream;
-        # see test_generate_absent_added_token_raises for the panic
-        # parity). One extra sample makes the fixture self-consistent.
-        "goodbye world",
     ]
     generator.feed(samples)
     vocab = generator.generate(256 + 10)
@@ -45,6 +43,8 @@ def test_generate():
     byval = {t.value: t for t in vocab}
     assert byval[b"vec"].keep is True
     assert byval[b"string"].keep is False
+    # absent added token survives via the constructor seed
+    assert byval[b"goodbye"].keep is True
     # log-probs sum to ~1 in prob space
     total = sum(math.exp(t.score) for t in vocab)
     assert total == pytest.approx(1.0, abs=1e-9)
@@ -59,15 +59,16 @@ def test_generate_special_token_counting_per_sample():
     # (reference: src/generate.rs:117-126): with p=1.0 a token occurring
     # k times in a sample counts exactly once per sample, even when it
     # also qualifies as a substring candidate.
+    # 1 constructor seed + 1 per matching sample.
     g = VocabularyGenerator(max_token_length=3, insert_probability=1.0,
                             added_tokens=["zq"], seed=0)
     g.feed(["zq zq zq zq", "zq", "no match here"])
-    assert g.frequencies["zq"] == 2
+    assert g.frequencies["zq"] == 3
     # Same semantics on the pure-Python path (split forces it).
     g2 = VocabularyGenerator(max_token_length=3, insert_probability=1.0,
                              added_tokens=["zq"], split=r"\S+", seed=0)
     g2.feed(["zq zq zq zq", "zq", "no match here"])
-    assert g2.frequencies["zq"] == 2
+    assert g2.frequencies["zq"] == 3
 
 
 def test_feed_special_native_overlapping_coin_count():
@@ -88,7 +89,7 @@ def test_feed_special_native_overlapping_coin_count():
     g._rng = coin = FailCoin()
     g._feed_special_native(["aaaa"])
     assert coin.calls == 5
-    assert g.frequencies["aa"] == 0
+    assert g.frequencies["aa"] == 1  # constructor seed only
 
     # Ineligible for the substring path (too long): special-path coins
     # only, non-overlapping.
@@ -107,17 +108,26 @@ def test_feed_special_native_overlapping_coin_count():
                              added_tokens=["aa"], seed=0)
     g3._rng = WinCoin()
     g3._feed_special_native(["aaaa", "aa", "bb"])
-    assert g3.frequencies["aa"] == 2
+    assert g3.frequencies["aa"] == 3  # seed + 2 samples
 
 
-def test_generate_absent_added_token_raises():
-    # reference: src/generate.rs:186 panics when an added/suggested
-    # token was never counted during feed.
+def test_generate_absent_added_token_seeded():
+    # reference: src/generate.rs:31-39 seeds +1 per added/suggested list
+    # entry, so the .expect at generate.rs:186 is unreachable — a special
+    # token never seen during feed still generates with score
+    # n_entries * len(token).
     g = VocabularyGenerator(max_token_length=6, insert_probability=1.0,
                             added_tokens=["goodbye"], seed=0)
     g.feed(["hello world"])
-    with pytest.raises(ValueError, match="should be present"):
-        g.generate(300)
+    assert g.frequencies["goodbye"] == 1
+    vocab = g.generate(300)
+    byval = {t.value: t for t in vocab}
+    assert b"goodbye" in byval and byval[b"goodbye"].keep is True
+    # Duplicate entries accumulate (the reference loops over both lists).
+    g2 = VocabularyGenerator(max_token_length=6, insert_probability=1.0,
+                             added_tokens=["dup"], suggested_tokens=["dup"],
+                             seed=0)
+    assert g2.frequencies["dup"] == 2
 
 
 def test_generate_full_byte_seed_flag():

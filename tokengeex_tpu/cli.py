@@ -320,8 +320,10 @@ def cmd_decode(args) -> None:
         ids = json.loads(raw)
     except ValueError:
         ids = [int(x) for x in raw.replace(",", " ").split()]
-    if not isinstance(ids, list) or \
-            not all(isinstance(x, int) for x in ids):
+    if isinstance(ids, int) and not isinstance(ids, bool):
+        ids = [ids]  # a single bare id, e.g. `decode -i 5`
+    if not isinstance(ids, list) or not all(
+            isinstance(x, int) and not isinstance(x, bool) for x in ids):
         sys.exit("decode: input must be a flat list of token ids")
     print(tokenizer.decode(ids, include_special_tokens=True))
 

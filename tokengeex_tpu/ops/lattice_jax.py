@@ -665,15 +665,25 @@ def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
     when XLA fails to fuse it into its consumers; inside a scan body
     the gather+slice+bitcast fuse per chunk."""
     B, L, W = slots.shape
+    neg = jnp.asarray(NEG_INF, dtype)
+
+    def norm(s):
+        # Same normalization as _match_slab: empty/rebind-removed slots
+        # store -3.0e38 sentinels which are FINITE — without mapping
+        # them to NEG_INF, a NoPath z (~-3e38) passes isfinite checks
+        # and Viterbi backtracks garbage (ADVICE r2 medium).
+        return jnp.where(s <= -1.0e38, neg, s)
+
     if W % C != 0 or W <= C:
         r = jnp.take(slot_score_rows, slots, axis=0)
-        return jax.lax.bitcast_convert_type(
-            r[..., 0], jnp.float32).astype(dtype)
+        return norm(jax.lax.bitcast_convert_type(
+            r[..., 0], jnp.float32).astype(dtype))
 
     def body(out, i):
         sl = jax.lax.dynamic_slice(slots, (0, 0, i * C), (B, L, C))
         r = jnp.take(slot_score_rows, sl, axis=0)
-        s = jax.lax.bitcast_convert_type(r[..., 0], jnp.float32).astype(dtype)
+        s = norm(jax.lax.bitcast_convert_type(
+            r[..., 0], jnp.float32).astype(dtype))
         # In-place carry update (see match_cache): one output buffer
         # instead of stack+transpose's three.
         return jax.lax.dynamic_update_slice(out, s, (0, 0, i * C)), None

@@ -632,11 +632,22 @@ class DeviceCorpus:
         self.groups = list(_padded_groups(self.packed, self.width,
                                           self.pad_mult))
         self._inputs: dict = {}
+        # Same device-byte budget as DeviceTrainSession._batch_for:
+        # ~3 B of HBM per corpus byte, so an unbounded cache OOMs a
+        # merge loop over a corpus larger than HBM (ADVICE r2 low).
+        self._budget = int(os.environ.get("TGX_INPUT_CACHE_BYTES",
+                                          2 << 30))
+        self._used = 0
 
     def batch(self, gi: int, sub: PackedBatch, L: int):
-        if gi not in self._inputs:
-            self._inputs[gi] = lj.prepare_batch_inputs(sub)
-        gbytes, gflags = self._inputs[gi]
+        if gi in self._inputs:
+            gbytes, gflags = self._inputs[gi]
+        else:
+            gbytes, gflags = lj.prepare_batch_inputs(sub)
+            size = int(np.prod(gbytes.shape)) + int(np.prod(gflags.shape))
+            if self._used + size <= self._budget:
+                self._inputs[gi] = (gbytes, gflags)
+                self._used += size
         return lj.prepare_batch_from_inputs(gbytes, gflags, L)
 
 

@@ -61,6 +61,12 @@ class VocabularyGenerator:
 
     def __post_init__(self):
         self.frequencies: Counter = Counter()
+        # The reference constructor seeds +1 per added/suggested list
+        # ENTRY (duplicates accumulate), so every special token has a
+        # frequency even if never observed during feed and its score is
+        # (observed+len(list occurrences)) * len (src/generate.rs:31-39).
+        for token in list(self.added_tokens) + list(self.suggested_tokens):
+            self.frequencies[token] += 1
         self._dfa: Optional[ByteDFA] = None
         if self.allow:
             self._dfa = compile_dfa(self.allow)
@@ -289,7 +295,9 @@ class VocabularyGenerator:
             if raw not in seen and len(raw) > 1:
                 seen.add(raw)
                 if token not in self.frequencies:
-                    # reference: src/generate.rs:186 .expect(...) panic
+                    # Unreachable: __post_init__ seeds every special token
+                    # (+1 each), mirroring the reference where the
+                    # .expect at src/generate.rs:186 can never fire.
                     raise ValueError(
                         "suggested/added token score should be present: "
                         f"{token!r} never counted during feed"
