@@ -57,9 +57,12 @@ def benchmark_batch(documents) -> None:
     import tokengeex_tpu
 
     tokenizer = tokengeex_tpu.load(vocab_path)
-    tokenizer.model.encode("warmup")
+    tokenizer.encode("warmup")
     start = time.perf_counter()
-    tokenizer.model.encode_batch(documents)
+    # Full pipeline batch path: special split + processors + threaded
+    # C++ Viterbi, like the reference's rayon encode_batch
+    # (reference: src/tokenizer.rs:102-111).
+    tokenizer.encode_batch(documents)
     report("TokenGeeX", num_bytes, time.perf_counter() - start)
 
     try:

@@ -16,6 +16,10 @@ import numpy as np
 
 
 def make_encoder(lib: str, f: str):
+    """(encode_batch_fn, vocab_size): every library here has a parallel
+    or at least vectorized batch API — the reference's per-sample loop
+    (reference: scripts/evaluate.py) serializes what rayon/pthreads can
+    parallelize, and at GB-scale test sets that dominates wall-clock."""
     if lib == "tiktoken":
         import tiktoken
 
@@ -36,28 +40,29 @@ def make_encoder(lib: str, f: str):
             pat = tiktoken.encoding_for_model(model)._pat_str
             enc = tiktoken.Encoding("custom", pat_str=pat,
                                     mergeable_ranks=ranks, special_tokens={})
-        return enc.encode_ordinary, enc.n_vocab
+        return enc.encode_ordinary_batch, enc.n_vocab
     if lib == "sentencepiece":
         import sentencepiece
 
         sp = sentencepiece.SentencePieceProcessor(model_file=f)
-        return sp.EncodeAsIds, sp.vocab_size()
+        return sp.EncodeAsIds, sp.vocab_size()  # accepts a list
     if lib == "transformers":
         import transformers
 
         tok = transformers.AutoTokenizer.from_pretrained(f)
-        return (lambda text: tok.encode(text, add_special_tokens=False),
+        return (lambda texts: tok(texts, add_special_tokens=False)["input_ids"],
                 tok.vocab_size)
     if lib == "tokenizers":
         import tokenizers
 
         tok = tokenizers.Tokenizer.from_file(f)
-        return (lambda text: tok.encode(text).ids, tok.get_vocab_size())
+        return (lambda texts: [e.ids for e in tok.encode_batch(texts)],
+                tok.get_vocab_size())
     if lib in ("tokengeex", "tokengeex_tpu"):
         import tokengeex_tpu
 
         tok = tokengeex_tpu.Tokenizer.from_file(f)
-        return (lambda text: tok.encode(text, 0.0)), tok.vocab_size()
+        return (lambda texts: tok.encode_batch(texts, 0.0)), tok.vocab_size()
     raise ValueError(f"Invalid tokenization library: {lib}")
 
 
@@ -69,7 +74,7 @@ def main():
     parser.add_argument("-o", required=True, help="Output JSON path")
     args = parser.parse_args()
 
-    encode_fn, vocab_size = make_encoder(args.l, args.f)
+    encode_batch, vocab_size = make_encoder(args.l, args.f)
     vocab_name = args.f.split("/")[-1].split(".")[0]
     print(f"[{vocab_name}] Vocab size: {vocab_size}")
 
@@ -85,15 +90,17 @@ def main():
     for file in sorted(glob.glob(args.i)):
         lang = file.split("/")[-1].split(".")[0]
         samples = open(file, encoding="utf-8").read().split("\0")
+        num_chars = sum(len(s) for s in samples)
         num_tokens = 0
-        num_chars = 0
-        for sample in samples:
-            tokens = encode_fn(sample)
-            num_tokens += len(tokens)
-            num_chars += len(sample)
-            for tid in tokens:
-                if tid < vocab_size:
-                    frequency[tid] += 1
+        # Chunked so huge files don't hold every id list at once.
+        for i in range(0, len(samples), 4096):
+            idss = encode_batch(samples[i : i + 4096])
+            flat = np.concatenate(
+                [np.asarray(ids, dtype=np.int64) for ids in idss]
+                or [np.zeros(0, np.int64)])
+            num_tokens += int(flat.size)
+            flat = flat[flat < vocab_size]
+            frequency += np.bincount(flat, minlength=vocab_size)
         cpt = round(num_chars / max(1, num_tokens), 2)
         out["compression"][lang] = {
             "num_tokens": num_tokens,

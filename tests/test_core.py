@@ -279,3 +279,42 @@ def test_splitter_multibyte_special_token():
     specials = ["<好>"]
     got = list(split_special_tokens("a<好>b", specials))
     assert got == [("a", False), ("<好>", True), ("b", False)]
+
+
+def test_encode_batch_host_routes_through_model_batch():
+    # reference: src/tokenizer.rs:102-111 — encode_batch is par_iter over
+    # texts. The host path must gather every ordinary span across the
+    # batch into ONE model.encode_batch call (threaded C++ when
+    # available) and stitch specials back, matching per-text encode
+    # exactly.
+    tok = _make_tokenizer()
+    texts = [
+        "hello world<eos>hello",
+        "<fim>hello\r\n world",
+        "",
+        "<eos><fim>",
+        "hell world hello",
+    ]
+    want = [tok.encode(t) for t in texts]
+    assert tok.encode_batch(texts) == want
+
+    calls = []
+    orig = tok.model.encode_batch
+
+    def spy(spans, dropout=0.0):
+        calls.append(list(spans))
+        return orig(spans, dropout)
+
+    tok.model.encode_batch = spy
+    assert tok.encode_batch(texts) == want
+    assert len(calls) == 1  # one batched model call, not a per-text loop
+
+    tok.model.encode_batch = orig
+    ordinary = [tok.encode_ordinary(t) for t in texts]
+    assert tok.encode_ordinary_batch(texts) == ordinary
+    # dropout path stays available (statistical equality not required,
+    # but every id must decode back to the input sans specials).
+    outs = tok.encode_batch(texts, dropout=0.5)
+    for t, ids in zip(texts, outs):
+        assert tok.decode(ids, include_special_tokens=True) == \
+            t.replace("\r\n", "\n")

@@ -75,34 +75,30 @@ class Tokenizer:
 
     def encode_batch(self, texts: Sequence[str], dropout: float = 0.0,
                      backend: str = "auto") -> List[List[int]]:
-        """Batch encode (reference: src/tokenizer.rs:102-111).
+        """Batch encode (reference: src/tokenizer.rs:102-111 — rayon
+        par_iter over texts).
 
         backend="device" runs the Viterbi segmentation of all ordinary
-        spans as one packed TPU batch; "auto"/"native" use the threaded
-        C++ runtime (or the oracle).
+        spans as one packed TPU batch; "auto"/"native" gather every
+        ordinary span across the batch and feed the threaded C++
+        runtime's batch encode (pthread pool) in one call, so host
+        batches parallelize like the reference's rayon path instead of
+        a serial Python loop.
         """
-        if backend == "device":
-            return self._encode_batch_device(texts, ordinary=False,
-                                             dropout=dropout)
-        return [self.encode(t, dropout) for t in texts]
+        return self._encode_batch_host(texts, ordinary=False,
+                                       dropout=dropout, backend=backend)
 
     def encode_ordinary_batch(self, texts: Sequence[str], dropout: float = 0.0,
                               backend: str = "auto") -> List[List[int]]:
-        if backend == "device":
-            return self._encode_batch_device(texts, ordinary=True,
-                                             dropout=dropout)
-        return [self.encode_ordinary(t, dropout) for t in texts]
+        return self._encode_batch_host(texts, ordinary=True,
+                                       dropout=dropout, backend=backend)
 
-    def _encode_batch_device(self, texts: Sequence[str],
-                             ordinary: bool,
-                             dropout: float = 0.0) -> List[List[int]]:
-        """Gather every ordinary span across the batch, Viterbi-encode
-        them as one packed device batch, and stitch special ids back."""
-        from ..train.estep_device import encode_corpus_device
-
+    def _layout_spans(self, texts: Sequence[str], ordinary: bool):
+        """Per text, a list of ("special", id) | ("span", span_index)
+        parts plus the flat list of preprocessed ordinary spans."""
         base = self.model.vocab_size()
-        layout: List[List] = []  # per text: list of ("special", id) | ("span", idx)
-        spans: List[bytes] = []
+        layout: List[List] = []
+        spans: List[str] = []
         for text in texts:
             parts = []
             pieces = (
@@ -117,10 +113,12 @@ class Tokenizer:
                     for p in self.processors:
                         processed = p.preprocess(processed)
                     parts.append(("span", len(spans)))
-                    spans.append(processed.encode("utf-8"))
+                    spans.append(processed)
             layout.append(parts)
+        return layout, spans
 
-        encoded = encode_corpus_device(self.model, spans, dropout=dropout)
+    @staticmethod
+    def _stitch(layout: List[List], encoded: List[List[int]]) -> List[List[int]]:
         out: List[List[int]] = []
         for parts in layout:
             ids: List[int] = []
@@ -131,6 +129,27 @@ class Tokenizer:
                     ids.extend(encoded[val])
             out.append(ids)
         return out
+
+    def _encode_batch_host(self, texts: Sequence[str], ordinary: bool,
+                           dropout: float, backend: str) -> List[List[int]]:
+        if backend == "device":
+            return self._encode_batch_device(texts, ordinary=ordinary,
+                                             dropout=dropout)
+        layout, spans = self._layout_spans(texts, ordinary)
+        encoded = self.model.encode_batch(spans, dropout)
+        return self._stitch(layout, encoded)
+
+    def _encode_batch_device(self, texts: Sequence[str],
+                             ordinary: bool,
+                             dropout: float = 0.0) -> List[List[int]]:
+        """Gather every ordinary span across the batch, Viterbi-encode
+        them as one packed device batch, and stitch special ids back."""
+        from ..train.estep_device import encode_corpus_device
+
+        layout, spans = self._layout_spans(texts, ordinary)
+        encoded = encode_corpus_device(
+            self.model, [s.encode("utf-8") for s in spans], dropout=dropout)
+        return self._stitch(layout, encoded)
 
     # -- Decode ------------------------------------------------------------
 
