@@ -222,11 +222,8 @@ def _device_prep(bytes_u8, flags_u8, consts, L: int):
 def prepare_batch_inputs(packed: PackedBatch):
     """Compact host->device inputs (~3 bytes per corpus byte): raw
     bytes + boundary flags. Cacheable on device across passes."""
-    B, W = packed.bytes_arr.shape
-    flags = np.zeros((B, W + 1), dtype=np.uint8)
-    flags[packed.is_start] |= 1
-    flags[_is_end_from_spans(packed)] |= 2
-    return jnp.asarray(packed.bytes_arr), jnp.asarray(flags)
+    bytes_arr, flags = host_batch_inputs(packed)
+    return jnp.asarray(bytes_arr), jnp.asarray(flags)
 
 
 def prepare_batch_from_inputs(gbytes, gflags, L: int) -> DeviceBatch:
@@ -327,34 +324,76 @@ def _is_end_from_spans(packed: PackedBatch) -> np.ndarray:
     return out
 
 
-def prepare_batch_sharded(packed: PackedBatch, L: int, sharding) -> DeviceBatch:
-    """Multi-process prepare_batch: `packed` is the identical GLOBAL
-    packing on every process; bytes/flags become global row-sharded
-    arrays (each process materializes only its addressable shards) and
-    the derivation jit runs as one global program. Constants stay host
-    numpy (uncommitted -> replicated)."""
-    from ..parallel import mesh as pmesh
-
+def host_batch_inputs(packed: PackedBatch):
+    """Host (numpy) compact inputs: raw bytes + boundary flags."""
     B, W = packed.bytes_arr.shape
     flags = np.zeros((B, W + 1), dtype=np.uint8)
     flags[packed.is_start] |= 1
     flags[_is_end_from_spans(packed)] |= 2
-    gbytes = pmesh.shard_rows(packed.bytes_arr, sharding)
-    gflags = pmesh.shard_rows(flags, sharding)
+    return packed.bytes_arr, flags
+
+
+def sharded_inputs(packed: PackedBatch, sharding):
+    """(gbytes, gflags) as GLOBAL row-sharded arrays from the identical
+    global packing held on every process (each materializes only its
+    addressable shards). Cacheable on device across passes."""
+    from ..parallel import mesh as pmesh
+
+    bytes_arr, flags = host_batch_inputs(packed)
+    return pmesh.shard_rows(bytes_arr, sharding), \
+        pmesh.shard_rows(flags, sharding)
+
+
+def sharded_inputs_local(packed_local: PackedBatch, sharding,
+                         global_rows: int):
+    """(gbytes, gflags) global arrays from a PROCESS-LOCAL row block —
+    the per-host corpus-sharding path (SURVEY section 2.4): each process
+    packs only its own samples and contributes rows
+    [proc * rows_local, (proc+1) * rows_local) of the global batch."""
+    from ..parallel import mesh as pmesh
+
+    bytes_arr, flags = host_batch_inputs(packed_local)
+    return (
+        pmesh.shard_rows_local(bytes_arr, sharding,
+                               (global_rows,) + bytes_arr.shape[1:]),
+        pmesh.shard_rows_local(flags, sharding,
+                               (global_rows,) + flags.shape[1:]),
+    )
+
+
+def _host_consts(W: int, L: int):
+    """Hash-power constants as host numpy (uncommitted -> replicated in
+    a multi-process global program)."""
     pow1 = H.powers_u32(H.R1, W).view(np.int32)
     pow2 = H.powers_u32(H.R2, W).view(np.int32)
     rinv1 = np.pad(H.powers_u32(H.R1_INV, W), (L, 0),
                    constant_values=1).view(np.int32)
     rinv2 = np.pad(H.powers_u32(H.R2_INV, W), (L, 0),
                    constant_values=1).view(np.int32)
-    consts = (pow1, pow2, rinv1, rinv2)
+    return (pow1, pow2, rinv1, rinv2)
+
+
+def prepare_batch_from_global_inputs(gbytes, gflags, L: int) -> DeviceBatch:
+    """Derive the DeviceBatch from (possibly cached) global row-sharded
+    compact inputs as one global program."""
+    B, W = gbytes.shape
     p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2 = _device_prep(
-        gbytes, gflags, consts, L
+        gbytes, gflags, _host_consts(W, L), L
     )
     return DeviceBatch(
         p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
         end_index=end_index, rinv1=rinv1, rinv2=rinv2, width=W, pad=L,
     )
+
+
+def prepare_batch_sharded(packed: PackedBatch, L: int, sharding) -> DeviceBatch:
+    """Multi-process prepare_batch: `packed` is the identical GLOBAL
+    packing on every process; bytes/flags become global row-sharded
+    arrays (each process materializes only its addressable shards) and
+    the derivation jit runs as one global program. Constants stay host
+    numpy (uncommitted -> replicated)."""
+    gbytes, gflags = sharded_inputs(packed, sharding)
+    return prepare_batch_from_global_inputs(gbytes, gflags, L)
 
 
 # ---------------------------------------------------------------------------

@@ -301,6 +301,17 @@ def shard_rows(full: np.ndarray, sharding):
     )
 
 
+def shard_rows_local(local_block: np.ndarray, sharding, global_shape):
+    """Global row-sharded array where THIS process contributes only its
+    own contiguous row block (per-host corpus sharding: no process ever
+    materializes the full corpus). Requires the mesh's device order to
+    be process-contiguous, which a 1-D mesh over jax.devices() is."""
+    import jax
+
+    return jax.make_array_from_process_local_data(
+        sharding, local_block, global_shape)
+
+
 def local_rows(garr) -> tuple:
     """(row_offset, np block) of this process's contiguous row shards of
     a global row-sharded array."""
@@ -383,12 +394,12 @@ def batch_to_arrays(batch) -> tuple:
             batch.end_index, batch.rinv1, batch.rinv2)
 
 
-def pad_rows_to_multiple(packed, mult: int):
-    """Pad a PackedBatch's rows so they divide evenly over a mesh."""
+def pad_rows_to(packed, target: int):
+    """Pad a PackedBatch with empty rows up to exactly `target` rows
+    (works from zero rows, unlike the multiple-rounding variant)."""
     from ..utils.packing import PackedBatch
 
     rows = packed.rows
-    target = -(-rows // mult) * mult
     if target == rows:
         return packed
     pad = target - rows
@@ -400,3 +411,8 @@ def pad_rows_to_multiple(packed, mult: int):
         end_index=np.pad(packed.end_index, ((0, pad), (0, 0))),
         spans=packed.spans,
     )
+
+
+def pad_rows_to_multiple(packed, mult: int):
+    """Pad a PackedBatch's rows so they divide evenly over a mesh."""
+    return pad_rows_to(packed, -(-packed.rows // mult) * mult)

@@ -42,10 +42,18 @@ class DeviceTrainSession:
     def __init__(self, model: Model, samples: Sequence[bytes],
                  max_snippet: int, kernel: Optional[str] = None,
                  dtype=None, probe: Optional[str] = None,
-                 cache_budget: Optional[int] = None):
+                 cache_budget: Optional[int] = None,
+                 local_shard: bool = False):
+        """`samples` is the global corpus (every process holds it and
+        feeds only its addressable row shards), or, with
+        local_shard=True under multi-process JAX, THIS process's corpus
+        shard only — per-host corpus sharding (SURVEY section 2.4): each
+        process packs and uploads only its own samples, contributing a
+        contiguous row block of every global dispatch group."""
         import jax
         import jax.numpy as jnp
 
+        from ..parallel import mesh as pmesh
         from . import estep_device as ed
 
         self.samples = samples
@@ -56,11 +64,24 @@ class DeviceTrainSession:
         self.chunk = ed.CHUNK
         self.base_tbl = TokenTable.build(model.vocab)
         self.L = self.base_tbl.max_token_len
-        self.width = ed._pick_width(samples, max_snippet)
+        self.n_proc = jax.process_count()
+        self.proc = jax.process_index()
+        self.local_shard = bool(local_shard) and self.n_proc > 1
+        if self.local_shard:
+            # The pack width is a compile-shape: agree on the max
+            # across the disjoint per-process shards.
+            self.width = pmesh.allgather_max(
+                ed._pick_width(samples, max_snippet))
+        else:
+            self.width = ed._pick_width(samples, max_snippet)
         self.packed = pack_samples(samples, width=self.width,
                                    max_snippet=max_snippet)
         self.n_dev = len(jax.devices())
         self.use_mesh = self.n_dev > 1
+        self.sharding = None
+        if self.n_proc > 1:
+            self.mesh = pmesh.get_mesh()
+            self.sharding = pmesh.data_sharding(self.mesh)
         self.row_mult = self.n_dev * 128 if self.kernel == "pallas" \
             else self.n_dev
         if cache_budget is None:
@@ -110,6 +131,11 @@ class DeviceTrainSession:
         self.tbl = tbl
         self.dt = lj.DeviceTables.from_table(tbl, self.dtype)
         self.slot_rows = lj.slot_score_rows(self.dt)
+        if getattr(self, "n_proc", 1) > 1:
+            # Host numpy (uncommitted -> replicated): a committed
+            # single-device array cannot mix with the global sharded
+            # slot arrays in the cached-score regather.
+            self.slot_rows = np.asarray(self.slot_rows)
         self._model = model
         # The mesh-sharded fns take the table arrays as per-call args
         # (lj.dt_call_args), so f32 rebinds reuse them as-is; only the
@@ -128,7 +154,8 @@ class DeviceTrainSession:
         from ..parallel import mesh as pmesh
 
         if "mesh" not in self._fns:
-            mesh = pmesh.get_mesh()
+            mesh = self.mesh if self.sharding is not None \
+                else pmesh.get_mesh()
             self._fns["mesh"] = mesh
             self._fns["probe"] = pmesh.sharded_match_cache(
                 self.dt, mesh, width=self.width, chunk=self.chunk,
@@ -157,31 +184,80 @@ class DeviceTrainSession:
         if getattr(self, "_group_list", None) is None:
             from . import estep_device as ed
 
-            self._group_list = list(ed._padded_groups(
-                self.packed, self.width,
-                self.row_mult if (self.use_mesh or self.kernel == "pallas")
-                else 1))
+            if self.local_shard:
+                self._group_list = self._local_group_list()
+            else:
+                self._group_list = list(ed._padded_groups(
+                    self.packed, self.width,
+                    self.row_mult
+                    if (self.use_mesh or self.kernel == "pallas") else 1))
             self._span_idx: Dict[int, tuple] = {}
         return self._group_list
+
+    def _local_group_list(self):
+        """Per-host corpus sharding: split THIS process's local packing
+        into groups of exactly `r_loc` rows (padded), with the group
+        COUNT agreed across processes, so group gi's global batch is the
+        concatenation of every process's gi-th local block."""
+        import jax
+
+        from ..parallel import mesh as pmesh
+        from . import estep_device as ed
+
+        loc_dev = jax.local_device_count()
+        mult = loc_dev * 128 if self.kernel == "pallas" else loc_dev
+        g_rows_global = max(1, ed.GROUP_BYTES // self.width)
+        r_loc = max(1, g_rows_global // self.n_proc)
+        r_loc = -(-r_loc // mult) * mult
+        rows = self.packed.rows
+        n_groups = max(1, pmesh.allgather_max(-(-rows // r_loc)))
+        self._r_loc = r_loc
+        self._r_glob = r_loc * self.n_proc
+        out = []
+        for gi in range(n_groups):
+            sub = ed._slice_packed(self.packed, min(gi * r_loc, rows),
+                                   min((gi + 1) * r_loc, rows))
+            out.append((gi, pmesh.pad_rows_to(sub, r_loc)))
+        return out
+
+    def _local_row_range(self, nrows_global: int):
+        """(lo, n) of this process's contiguous global row block — row
+        shards follow device order, which is process-contiguous for a
+        1-D mesh over jax.devices()."""
+        n = nrows_global // self.n_proc
+        return self.proc * n, n
 
     def _span_arrays(self, gi: int, sub):
         """Cached per-group span bookkeeping: z-check indices, byte and
         sample tallies, and the short-sample ("whole") subset used by
         the frequency pass — all O(spans) Python work that would
-        otherwise repeat every pass."""
+        otherwise repeat every pass.
+
+        Multi-process: restricted to THIS process's rows, with row
+        indices relative to its local block (the device results are
+        only fetched shard-locally; under local_shard every span is
+        local by construction)."""
         if gi not in self._span_idx:
             if not hasattr(self, "_long_set"):
                 # Once per session, NOT per group: a full corpus scan
                 # per group is O(groups x samples).
                 self._long_set = {si for si, s in enumerate(self.samples)
                                   if len(s) > self.max_snippet}
-            rows_idx = np.asarray([r for (r, _, _, _, _) in sub.spans])
-            ends_idx = np.asarray([e for (_, _, e, _, _) in sub.spans])
-            whole = [sp for sp in sub.spans if sp[3] not in self._long_set]
+            if self.n_proc > 1 and not self.local_shard:
+                lo, n = self._local_row_range(sub.rows)
+                spans = [(r - lo, s, e, si, ci)
+                         for (r, s, e, si, ci) in sub.spans
+                         if lo <= r < lo + n]
+            else:
+                spans = sub.spans
+            rows_idx = np.asarray([r for (r, _, _, _, _) in spans])
+            ends_idx = np.asarray([e for (_, _, e, _, _) in spans])
+            whole = [sp for sp in spans if sp[3] not in self._long_set]
             self._span_idx[gi] = {
+                "spans": spans,
                 "z": (rows_idx, ends_idx),
-                "nbytes": sum(e - s for (_, s, e, _, _) in sub.spans),
-                "nsamples": len({si for (_, _, _, si, _) in sub.spans}),
+                "nbytes": sum(e - s for (_, s, e, _, _) in spans),
+                "nsamples": len({si for (_, _, _, si, _) in spans}),
                 "whole": whole,
                 "whole_rows": np.asarray([r for (r, _, _, _, _) in whole]),
                 "whole_ends": np.asarray(
@@ -193,11 +269,22 @@ class DeviceTrainSession:
         if gi in self.input_cache:
             gbytes, gflags = self.input_cache[gi]
         else:
-            gbytes, gflags = lj.prepare_batch_inputs(sub)
-            size = int(np.prod(gbytes.shape)) + int(np.prod(gflags.shape))
+            if self.local_shard:
+                gbytes, gflags = lj.sharded_inputs_local(
+                    sub, self.sharding, self._r_glob)
+            elif self.n_proc > 1:
+                gbytes, gflags = lj.sharded_inputs(sub, self.sharding)
+            else:
+                gbytes, gflags = lj.prepare_batch_inputs(sub)
+            # Budget accounting uses this process's resident share.
+            size = (int(np.prod(gbytes.shape))
+                    + int(np.prod(gflags.shape))) // self.n_proc
             if self.input_used + size <= self.input_budget:
                 self.input_cache[gi] = (gbytes, gflags)
                 self.input_used += size
+        if self.n_proc > 1:
+            return lj.prepare_batch_from_global_inputs(gbytes, gflags,
+                                                       self.L)
         return lj.prepare_batch_from_inputs(gbytes, gflags, self.L)
 
     def _probe_group(self, gi: int, batch):
@@ -279,13 +366,31 @@ class DeviceTrainSession:
         self._rebind(model)
         key = jax.random.PRNGKey(seed)
         acc = None
-        z_checks = []  # (device z array, spans) — materialized at the end
+        z_checks = []  # (device z array or host values, spans)
         for gi, sub in self._groups():
             batch = self._batch_for(gi, sub)
             drop_u = None
             if dropout > 0.0:
                 key, sub_key = jax.random.split(key)
-                if self.use_mesh:
+                if self.local_shard:
+                    # Each process draws ITS block's rows (host RNG
+                    # keyed by process) and contributes them to the
+                    # global row-sharded array.
+                    rng = np.random.default_rng([seed, gi, self.proc])
+                    du = rng.integers(-(2**31), 2**31 - 1,
+                                      (self._r_loc, batch.sid.shape[1]),
+                                      dtype=np.int64).astype(np.int32)
+                    drop_u = pmesh.shard_rows_local(
+                        du, self.sharding,
+                        (self._r_glob, batch.sid.shape[1]))
+                elif self.n_proc > 1:
+                    # Identical host RNG on every process, sharded in.
+                    rng = np.random.default_rng([seed, gi])
+                    du = rng.integers(-(2**31), 2**31 - 1,
+                                      (sub.rows, batch.sid.shape[1]),
+                                      dtype=np.int64).astype(np.int32)
+                    drop_u = pmesh.shard_rows(du, self.sharding)
+                elif self.use_mesh:
                     # The sharded fns take a row-sharded random array.
                     drop_u = jax.random.randint(
                         sub_key, (batch.p1.shape[0], batch.sid.shape[1]),
@@ -344,26 +449,41 @@ class DeviceTrainSession:
                 # device_get forces real completion (block_until_ready
                 # does not round-trip through the axon relay).
                 jax.device_get(acc[:1])
-            if sub.spans:
-                info = self._span_arrays(gi, sub)
+            info = self._span_arrays(gi, sub)
+            spans = info["spans"]
+            if spans:
                 rows_idx, ends_idx = info["z"]
-                z_checks.append((lj.pick_span_values_device(
-                    A, rows_idx, ends_idx), sub.spans))
+                if self.n_proc > 1:
+                    # Fetch only this process's row block and pick the
+                    # span ends on host (the indices are block-local).
+                    _, A_local = pmesh.local_rows(A)
+                    z_checks.append((A_local[rows_idx, ends_idx], spans))
+                else:
+                    z_checks.append((lj.pick_span_values_device(
+                        A, rows_idx, ends_idx), spans))
                 if task is not None:
                     task.record(info["nbytes"], info["nsamples"])
         expected = lj.fold_expected(self.dt, acc) if acc is not None \
             else np.zeros(self.dt.vocab_size, dtype=np.float64)
+        # Per-snippet normalizer check (reference: src/prune.rs:90-96).
+        # Multi-process: failures allgathered BEFORE raising so no
+        # process hangs in a later collective.
+        fail_si, fail_z = -1, 0.0
         for z_dev, spans in z_checks:
             z_vals = np.asarray(z_dev)[: len(spans)]
             bad = ~np.isfinite(z_vals)
             if bad.any():
                 k = int(np.nonzero(bad)[0][0])
-                si = spans[k][3]
-                raise ValueError(
-                    f"normalization constant is not finite "
-                    f"(z={z_vals[k]}, sample={si}, "
-                    f"len={len(self.samples[si])})"
-                )
+                fail_si, fail_z = spans[k][3], float(z_vals[k])
+                break
+        if self.n_proc > 1:
+            fail_si, fail_z = pmesh.allgather_fail(fail_si, fail_z)
+        if fail_si >= 0:
+            where = "process-local sample" if self.local_shard else "sample"
+            raise ValueError(
+                f"normalization constant is not finite "
+                f"(z={fail_z}, {where}={fail_si})"
+            )
         return expected
 
     def count_frequencies(self, model: Model, task=None) -> np.ndarray:
@@ -424,12 +544,31 @@ class DeviceTrainSession:
                                         cache=(score, slots))
             info = self._span_arrays(gi, sub)
             spans_whole = info["whole"]
-            if spans_whole:
-                dp_ends_dev = lj.pick_span_values_device(
-                    dp, info["whole_rows"], info["whole_ends"])
+            if self.n_proc > 1:
+                # Backtrack only this process's row block (the spans in
+                # `info` are block-local; see _span_arrays).
+                lo, bl_local = pmesh.local_rows(best_l.astype(jnp.int8))
+                if spans_whole:
+                    _, dp_local = pmesh.local_rows(dp)
+                    dp_ends_dev = dp_local[info["whole_rows"],
+                                           info["whole_ends"]]
+                else:
+                    dp_ends_dev = None
+                n = bl_local.shape[0]
+                view_src = sub if self.local_shard else ed._slice_packed(
+                    sub, lo, lo + n)
+                view_sub = PackedBatch(
+                    view_src.bytes_arr, view_src.sample_id,
+                    view_src.is_start, view_src.end_index, spans_whole)
+                nxt = (view_sub, dp_ends_dev, bl_local, spans_whole)
             else:
-                dp_ends_dev = None
-            nxt = (sub, dp_ends_dev, best_l.astype(jnp.int8), spans_whole)
+                if spans_whole:
+                    dp_ends_dev = lj.pick_span_values_device(
+                        dp, info["whole_rows"], info["whole_ends"])
+                else:
+                    dp_ends_dev = None
+                nxt = (sub, dp_ends_dev, best_l.astype(jnp.int8),
+                       spans_whole)
             # 1-deep prefetch: backtrack the previous group on host
             # while this group computes on device.
             if pending is not None:
@@ -438,16 +577,35 @@ class DeviceTrainSession:
         if pending is not None:
             drain(pending)
 
-        if long_idx:
+        def add_long(indices, force_local: bool):
             # Same dtype/kernel and the session's rebound table: the
             # fallback must count at the session's conformance grade
             # (f64 sessions stay f64) and keep compile shapes pinned
             # across prune rounds instead of rebuilding per call.
             encoded = ed.encode_corpus_device(
-                model, [self.samples[si] for si in long_idx], task=task,
+                model, [self.samples[si] for si in indices], task=task,
                 dtype=self.dtype, kernel=self.kernel, probe=self.probe,
-                table=self.tbl)
+                table=self.tbl, force_local=force_local)
             for ids in encoded:
                 if ids:
                     np.add.at(freqs, np.asarray(ids, dtype=np.int64), 1)
+
+        if self.local_shard:
+            # Per-host corpus shards: each process encodes its own long
+            # samples as a LOCAL program (shapes differ per process, so
+            # a global program would deadlock), then one allgather sums
+            # short + long counts.
+            if long_idx:
+                add_long(long_idx, force_local=True)
+            freqs = pmesh.allgather_sum(freqs).astype(np.int64)
+        elif self.n_proc > 1:
+            # Replicated corpus: short-span counts are per-process
+            # partials; the long-sample encode is a global program whose
+            # ids every process sees in full — add those ONCE, after
+            # the allgather.
+            freqs = pmesh.allgather_sum(freqs).astype(np.int64)
+            if long_idx:
+                add_long(long_idx, force_local=False)
+        elif long_idx:
+            add_long(long_idx, force_local=False)
         return freqs

@@ -259,6 +259,7 @@ def encode_corpus_device(
     max_width: Optional[int] = None,
     table: Optional[TokenTable] = None,
     corpus: Optional["DeviceCorpus"] = None,
+    force_local: bool = False,
 ) -> List[List[int]]:
     """Viterbi-encode all samples on device; exact reference semantics
     including NoPath (reference: src/model.rs:59-129). Rows shard over
@@ -295,6 +296,12 @@ def encode_corpus_device(
 
     n_dev = len(jax.devices())
     n_proc = jax.process_count()
+    if force_local:
+        # Per-host corpus-shard callers encode DIFFERENT samples per
+        # process; a global program would deadlock on mismatched
+        # shapes. Run a purely process-local single-device program.
+        n_dev = 1
+        n_proc = 1
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
 

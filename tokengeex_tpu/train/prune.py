@@ -93,6 +93,12 @@ class VocabularyPruner:
     seed: int = 0  # dropout RNG base; each E-step call advances the
     # stream so EM sub-iterations sample fresh masks (the reference uses
     # thread_rng, fresh every pass but non-reproducible).
+    corpus_sharded: bool = False  # True: `samples` is THIS process's
+    # shard of a multi-process corpus (per-host corpus sharding,
+    # SURVEY section 2.4) — requires the device backend and multi-process
+    # JAX; no process ever materializes the full corpus.
+    device_dtype: object = None  # session dtype override (e.g.
+    # jnp.float64 for conformance-grade E-steps); None = f32 fast path.
 
     def prune(self, model: Model, samples: Sequence[bytes],
               checkpoint_cb=None) -> Model:
@@ -106,20 +112,35 @@ class VocabularyPruner:
             max(8, int(_math.ceil(_math.log2(max(model.vocab_size(), 1)))) + 1),
             max((len(t.value) for t in model.vocab), default=1),
         )
+        # The loss normalizer is the GLOBAL sample count
+        # (reference: src/prune.rs:283 uses the full corpus).
+        self._n_samples = len(samples)
+        if self.corpus_sharded:
+            if self._pick_backend(model) != "device":
+                raise RuntimeError(
+                    "corpus_sharded pruning requires the device backend")
+            from ..parallel import mesh as pmesh
+
+            self._n_samples = int(pmesh.allgather_sum(
+                np.asarray([len(samples)], np.int64))[0])
         # Device sessions probe the corpus once and reuse the slot cache
         # across EM sub-iterations, the frequency pass, and rounds
-        # (vocabulary only shrinks while pruning).
+        # (vocabulary only shrinks while pruning). Multi-process runs
+        # (replicated or per-host-sharded corpus) go through the same
+        # session: the sharded mesh fns take cached global slot arrays
+        # per call.
         self._session = None
         if self._pick_backend(model) == "device":
             try:
-                import jax
+                from .device_session import DeviceTrainSession
 
-                if jax.process_count() == 1:
-                    from .device_session import DeviceTrainSession
-
-                    self._session = DeviceTrainSession(
-                        model, samples, MAX_SAMPLE_LENGTH)
+                self._session = DeviceTrainSession(
+                    model, samples, MAX_SAMPLE_LENGTH,
+                    dtype=self.device_dtype,
+                    local_shard=self.corpus_sharded)
             except Exception:
+                if self.corpus_sharded:
+                    raise  # no replicated fallback: shards are disjoint
                 log.exception("device session unavailable; "
                               "falling back to per-pass probing")
         while model.vocab_size() > self.vocab_size:
@@ -307,7 +328,8 @@ class VocabularyPruner:
                         math.log(float(token_frequencies[alt_id]) + freq)
                         - alt_logsum
                     )
-                loss = (freq / len(samples)) * (logprob - alt_logprob)
+                loss = (freq / getattr(self, "_n_samples", len(samples))) \
+                    * (logprob - alt_logprob)
                 # The reference panics on any non-normal loss, which
                 # includes exact 0.0 (src/prune.rs:291-297); we only
                 # reject non-finite values and let a zero loss rank last.
