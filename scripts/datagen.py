@@ -186,23 +186,106 @@ _SYNTH_TEMPLATES = {
 _IDENTS = ["handler", "value", "result", "index", "total", "buffer", "count",
            "stream", "record", "cursor", "offset", "window", "packet"]
 
+_SYLLABLES = ["an", "er", "ti", "on", "ra", "lo", "de", "mi", "cu", "va",
+              "be", "so", "ne", "pa", "gen", "st", "qu", "ix", "al", "tor"]
+
+
+def _ident_pool(rng, size: int = 4000):
+    """Zipf-weighted identifier pool: without lexical diversity a
+    synthetic corpus caps the trainable vocabulary at a few hundred
+    tokens (seen in round 1's bench corpus)."""
+    pool = list(_IDENTS)
+    seen = set(pool)
+    while len(pool) < size:
+        w = "".join(rng.choice(_SYLLABLES)
+                    for _ in range(rng.randint(2, 4)))
+        if w not in seen:
+            seen.add(w)
+            pool.append(w)
+    weights = [1.0 / (i + 10) for i in range(size)]
+    return pool, weights
+
 
 def generate_synthetic(args):
     rng = random.Random(42)
+    pool, weights = _ident_pool(rng)
     for lang, template in _SYNTH_TEMPLATES.items():
         def gen():
             while True:
                 parts = []
                 for _ in range(rng.randint(4, 20)):
-                    parts.append(template.format(
-                        f=rng.choice(_IDENTS) + "_" + rng.choice(_IDENTS),
-                        a=rng.choice(_IDENTS),
-                        b=rng.choice(_IDENTS),
-                        v=rng.choice(_IDENTS),
-                    ))
+                    f, a, b, v = rng.choices(pool, weights=weights, k=4)
+                    parts.append(template.format(f=f + "_" + a, a=a, b=b,
+                                                 v=v))
                 yield "".join(parts)
 
         train, test = (mb(float(x)) for x in args.synthetic_quota.split(","))
+        # "synth-" prefix: never collide with a real harvested/downloaded
+        # language bin of the same name in a mixed corpus.
+        write_quota(args.output, f"synth-{lang}", gen(), train, test)
+
+
+# ---------------------------------------------------------------------------
+# Offline harvest: real source code shipped inside the image
+# ---------------------------------------------------------------------------
+
+_HARVEST_LANGS = {
+    ".py": "python", ".pyi": "python", ".pyx": "cython", ".pxd": "cython",
+    ".h": "cpp", ".hpp": "cpp", ".cc": "cpp", ".cpp": "cpp",
+    ".c": "c",
+    ".js": "javascript", ".ts": "typescript",
+    ".json": "json", ".yaml": "yaml", ".yml": "yaml", ".toml": "toml",
+    ".md": "markdown", ".rst": "markdown",
+    ".html": "html", ".css": "css", ".xml": "xml", ".svg": "xml",
+    ".sh": "shell", ".txt": "text",
+    ".pl": "perl", ".pm": "perl", ".tcl": "tcl", ".cmake": "cmake",
+    ".proto": "protobuf", ".el": "lisp",
+}
+
+_HARVEST_ROOTS = ["/opt/venv", "/usr/lib", "/usr/share", "/usr/include",
+                  "/usr/local", "/etc", os.path.expanduser("~/.cache/uv")]
+
+
+def generate_harvest(args):
+    """Real-code corpus without network: walk the Python environment and
+    system trees for source files, bucket by language, dedup by content
+    hash, shuffle deterministically, and emit the same train/test .bin
+    layout (with the same Stack quality filters) as the reference's
+    downloader (reference: scripts/datagen.py:46-168 + DATASET.md)."""
+    import hashlib
+
+    roots = args.harvest_roots or _HARVEST_ROOTS
+    by_lang = {}
+    for root in roots:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for f in filenames:
+                lang = _HARVEST_LANGS.get(os.path.splitext(f)[1].lower())
+                if lang is not None:
+                    by_lang.setdefault(lang, []).append(
+                        os.path.join(dirpath, f))
+    train, test = (mb(float(x)) for x in args.harvest_quota.split(","))
+    rng = random.Random(20260818)
+    for lang in sorted(by_lang):
+        paths = sorted(by_lang[lang])
+        rng.shuffle(paths)
+        seen = set()
+
+        def gen():
+            for path in paths:
+                try:
+                    with open(path, "rb") as fh:
+                        raw = fh.read(mb(1))
+                except OSError:
+                    continue
+                digest = hashlib.sha1(raw).digest()
+                if digest in seen:
+                    continue
+                seen.add(digest)
+                try:
+                    yield raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+
         write_quota(args.output, lang, gen(), train, test)
 
 
@@ -219,8 +302,16 @@ def main():
                         help="emit a deterministic offline corpus instead")
     parser.add_argument("--synthetic-quota", default="4,0.5",
                         help="{train_mb},{test_mb} per synthetic language")
+    parser.add_argument("--harvest", action="store_true",
+                        help="harvest real source files shipped in the "
+                             "image (offline)")
+    parser.add_argument("--harvest-quota", default="256,16",
+                        help="{train_mb},{test_mb} per harvested language")
+    parser.add_argument("--harvest-roots", nargs="*", default=None)
     args = parser.parse_args()
 
+    if args.harvest:
+        generate_harvest(args)
     if args.synthetic:
         generate_synthetic(args)
     for quota in args.the_stack_quotas:
