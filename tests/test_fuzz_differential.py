@@ -52,7 +52,7 @@ def _fuzz_case(seed):
 
 
 # TGX_FUZZ_SEEDS widens the sweep (e.g. nightly CI: TGX_FUZZ_SEEDS=32).
-_N_SEEDS = int(os.environ.get("TGX_FUZZ_SEEDS", "2"))
+_N_SEEDS = int(os.environ.get("TGX_FUZZ_SEEDS", "8"))
 
 
 @pytest.mark.parametrize(
@@ -89,3 +89,77 @@ def test_fuzz_no_path_detection():
     assert got == [want_ok]
     with pytest.raises(NoPathError):
         encode_corpus_device(model, [bad], dtype=jnp.float64)
+
+
+def test_fuzz_long_sample_chained_encode():
+    """Samples past MAX_ENCODE_WIDTH (32 KiB) run the chained-window
+    Viterbi with the bit-exact dp carry; token-exact vs the native
+    UNCHUNKED lattice encode (itself oracle-bit-exact, test_native.py),
+    with multi-byte tokens deliberately straddling window boundaries."""
+    if nativelib.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    rng = random.Random(17)
+    vocab = [ScoredToken(bytes([b]), math.log(1 / 256)) for b in range(256)]
+    seen = {t.value for t in vocab}
+    tie_scores = [rng.uniform(-6.0, -1.0) for _ in range(4)]
+    while len(vocab) < 256 + 80:
+        n = rng.randint(2, 12)
+        w = bytes(rng.choice(b"abcdef \n\x00\xff") for _ in range(n))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(ScoredToken(w, rng.choice(tie_scores)))
+    pool = [t.value for t in vocab[256:]]
+    samples = []
+    for k in range(3):
+        n = rng.randint(40_000, 90_000)
+        parts = []
+        size = 0
+        while size < n:
+            p = rng.choice(pool) if rng.random() < 0.7 else \
+                bytes(rng.choice(b"abcdef \n") for _ in range(rng.randint(1, 9)))
+            parts.append(p)
+            size += len(p)
+        samples.append(b"".join(parts)[:n])
+    # Plus one short sample so mixed batches exercise both paths.
+    samples.append(b"abcabc")
+
+    native = nativelib.NativeModel(vocab)
+    want = native.encode_batch(samples)
+    model = Model(vocab)
+    got = encode_corpus_device(model, samples, dtype=jnp.float64)
+    assert got == want, "chained-window encode diverged from native"
+
+
+def test_fuzz_dropout_distribution_device_vs_oracle():
+    """dropout > 0 skips multi-byte candidates with probability p
+    (reference: src/model.rs:48-51). The device path draws its coins
+    from a hash-mixed stream, the oracle from python random — the
+    SEGMENTATION DISTRIBUTIONS must match: total-variation distance
+    over N independent draws within sampling noise."""
+    vocab = [ScoredToken(bytes([b]), math.log(1 / 256)) for b in range(256)]
+    vocab += [ScoredToken(b"ab", -1.0), ScoredToken(b"ba", -1.2),
+              ScoredToken(b"abab", -1.8), ScoredToken(b"bab", -2.0)]
+    sample = b"ababab"
+    dropout = 0.4
+    N = 512
+
+    oracle = OracleModel(vocab)
+    counts_o = {}
+    for k in range(N):
+        ids = tuple(oracle.encode(sample, dropout, random.Random(k)))
+        counts_o[ids] = counts_o.get(ids, 0) + 1
+
+    model = Model(vocab)
+    got = encode_corpus_device(model, [sample] * N, dropout=dropout,
+                               seed=123, dtype=jnp.float64)
+    counts_d = {}
+    for ids in got:
+        ids = tuple(ids)
+        counts_d[ids] = counts_d.get(ids, 0) + 1
+
+    keys = set(counts_o) | set(counts_d)
+    tv = 0.5 * sum(abs(counts_o.get(k, 0) - counts_d.get(k, 0)) / N
+                   for k in keys)
+    assert tv < 0.12, (tv, counts_o, counts_d)
+    # Both must actually sample more than one segmentation at p=0.4.
+    assert len(counts_o) > 1 and len(counts_d) > 1
