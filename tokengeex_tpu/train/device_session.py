@@ -325,7 +325,16 @@ class DeviceTrainSession:
 
     def _seg_for(self, gi: int, slots):
         """SegStruct for a slot-cached group (built once, reused by
-        every E-step pass; slots are static across rebinds)."""
+        every E-step pass; slots are static across rebinds).
+
+        Single-device only: the scatter-free count path needs a
+        group-wide sort of (pos, len)->slot hits, and its build runs
+        argsorts + a host-synced size check that cannot live inside
+        shard_map; a per-shard variant would need the seg arrays
+        threaded through the sharded fns as per-call args with
+        shard-dependent shapes. Mesh runs keep backward_expected's
+        fused scatter inside the sharded program instead (measured at
+        ~10% slower per EM pass than segsum on one chip — BASELINE.md)."""
         import jax.numpy as jnp
 
         if gi in self.seg_cache:
