@@ -67,6 +67,23 @@ if mode == "estep":
                                  max_snippet=128, dtype=jnp.float64)
     if proc_id <= 0:
         np.save(out_path, expected)
+elif mode == "generate_sharded":
+    # Pod generate: disjoint per-process shards + allreduce of the
+    # document-frequency counters == single-process full-corpus feed
+    # (insert_probability=1.0 makes every coin deterministic).
+    from tokengeex_tpu.train.generate import VocabularyGenerator
+
+    local = [s.decode() for s in
+             (samples if proc_id < 0 else samples[proc_id::nprocs])]
+    g = VocabularyGenerator(max_token_length=6, insert_probability=1.0,
+                            added_tokens=["absent"], seed=0)
+    g.feed(local)
+    g.allreduce_frequencies()
+    vocab = g.generate(300)
+    if proc_id <= 0:
+        data = [[t.value.hex(), t.score, t.keep] for t in vocab]
+        with open(out_path, "w") as f:
+            json.dump(data, f)
 elif mode == "prune_sharded":
     # Per-host corpus sharding (SURVEY section 2.4): each process holds
     # ONLY its disjoint sample shard; the single-process reference run
@@ -168,6 +185,22 @@ def test_two_process_prune_end_to_end(tmp_path):
     # scores (repr round-trips f64 exactly), same keep flags.
     assert vocab_multi == vocab_single
     assert len(vocab_multi) <= 45 + 8  # pruned to target (+keep bytes)
+
+
+@pytest.mark.skipif(os.environ.get("TGX_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_sharded_generate(tmp_path):
+    """Pod generate: per-process shard feed + frequency allreduce equals
+    the single-process full-corpus vocabulary exactly (document
+    frequencies are integers; p=1.0 removes coin randomness)."""
+    multi_out, single_out = _run_workers(tmp_path, "generate_sharded",
+                                         _free_port())
+    with open(multi_out) as f:
+        vocab_multi = json.load(f)
+    with open(single_out) as f:
+        vocab_single = json.load(f)
+    assert vocab_multi == vocab_single
+    assert any(bytes.fromhex(v[0]) == b"absent" for v in vocab_multi)
 
 
 @pytest.mark.skipif(os.environ.get("TGX_SKIP_MULTIHOST") == "1",

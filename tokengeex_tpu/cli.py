@@ -149,6 +149,13 @@ def cmd_generate(args) -> None:
             "Collected frequent tokens from %r. Total: %d",
             source.name, generator.current_size(),
         )
+    if getattr(args, "corpus_sharded", False):
+        # Pod generate: this process fed only its corpus shard; sum the
+        # document frequencies across processes (every process then
+        # generates the identical vocabulary).
+        generator.allreduce_frequencies()
+        log.info("Merged frequencies across processes. Total: %d",
+                 generator.current_size())
     vocab = generator.generate(args.vocab_size)
     log.info(
         "Generated initial vocabulary vocab_size=%d mem=%s",
@@ -181,6 +188,7 @@ def cmd_prune(args) -> None:
         em_subiters=args.em_subiters,
         dropout=args.dropout,
         backend=args.backend,
+        corpus_sharded=getattr(args, "corpus_sharded", False),
     )
 
     checkpoint_cb = None
@@ -351,6 +359,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--split")
     g.add_argument("--insert-probability", type=float, default=0.1)
     g.add_argument("--max-token-length", type=int, default=24)
+    g.add_argument("--corpus-sharded", action="store_true",
+                   help="--train files are THIS process's shard of a "
+                        "multi-process (pod) corpus; frequencies are "
+                        "summed across processes")
     g.set_defaults(fn=cmd_generate)
 
     # prune (reference: src/cli.rs:65-86, defaults :687-689)
@@ -365,6 +377,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--backend", default="auto")
     pr.add_argument("--checkpoint-every", type=int, default=0,
                     help="save a checkpoint every N prune rounds")
+    pr.add_argument("--corpus-sharded", action="store_true",
+                    help="--train files are THIS process's shard of a "
+                         "multi-process (pod) corpus; no process loads "
+                         "the full corpus (device backend only)")
     pr.set_defaults(fn=cmd_prune)
 
     # filter (reference: src/cli.rs:90-103, defaults :697-700)

@@ -118,6 +118,33 @@ class VocabularyGenerator:
     def _special_tokens(self) -> List[str]:
         return list(self.added_tokens) + list(self.suggested_tokens)
 
+    def allreduce_frequencies(self) -> None:
+        """Pod-scale generate (SURVEY section 2.4 sparse-count
+        tree-reduce): each JAX process feeds only its corpus shard, then
+        the per-sample document-frequency counters are summed across
+        processes (host allgather — the counts are sparse string maps,
+        not dense tensors). The constructor's +1-per-special-entry seed
+        (reference: src/generate.rs:31-39) is counted exactly once. The
+        merged counter is identical on every process, so generate()
+        produces the same vocabulary everywhere with no further
+        coordination."""
+        from ..parallel import mesh as pmesh
+
+        if pmesh.process_count() == 1:
+            return
+        seed: Counter = Counter()
+        for token in self._special_tokens():
+            seed[token] += 1
+        local = Counter(self.frequencies)
+        local.subtract(seed)  # keep zero entries (Counter - drops them)
+        merged: Counter = Counter()
+        for c in pmesh.allgather_pickled(dict(local)):
+            merged.update(c)
+        merged.update(seed)
+        # Drop zero-count artifacts so current_size() matches reference
+        # semantics (a key only exists once counted or seeded).
+        self.frequencies = Counter({t: n for t, n in merged.items() if n})
+
     def _feed_special_sample(self, sample: str, tokens: set) -> None:
         """Added/suggested tokens: one coin per occurrence, break on the
         first success, inserted into the SAME per-sample set as substring
