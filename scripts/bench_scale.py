@@ -105,8 +105,39 @@ def main():
     from tokengeex_tpu.train.patterns import PATTERNS, build_allow_regex
     from tokengeex_tpu.train.prune import VocabularyPruner
 
-    train = build_corpus(int(mb * 1e6), seed=0)
-    test = build_corpus(int(mb * 1e5), seed=1)
+    corpus_dir = os.environ.get("TGX_SCALE_CORPUS")
+    if corpus_dir:
+        # Real .bin corpus (scripts/datagen.py layout): TGX_SCALE_MB
+        # caps how much of the train split is used (0 = all).
+        import glob as _glob
+
+        def load_split(split, cap):
+            # Round-robin across language files so a byte cap keeps the
+            # language mix instead of truncating alphabetically.
+            streams = [
+                [s for s in open(p, "rb").read().split(b"\0") if s]
+                for p in sorted(_glob.glob(f"{corpus_dir}/{split}/*.bin"))
+            ]
+            out = []
+            size = 0
+            i = 0
+            while streams and (not cap or size < cap):
+                stream = streams[i % len(streams)]
+                if stream:
+                    s = stream.pop()
+                    out.append(s)
+                    size += len(s)
+                else:
+                    streams.pop(i % len(streams))
+                    i -= 1
+                i += 1
+            return out
+
+        train = load_split("train", int(mb * 1e6))
+        test = load_split("test", int(mb * 1e5))
+    else:
+        train = build_corpus(int(mb * 1e6), seed=0)
+        test = build_corpus(int(mb * 1e5), seed=1)
     nbytes = sum(len(s) for s in train)
     log(f"train {nbytes/1e6:.1f} MB in {len(train)} samples; "
         f"test {sum(len(s) for s in test)/1e6:.1f} MB")
