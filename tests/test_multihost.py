@@ -67,6 +67,20 @@ if mode == "estep":
                                  max_snippet=128, dtype=jnp.float64)
     if proc_id <= 0:
         np.save(out_path, expected)
+elif mode == "merge":
+    # Pod merge through the device-cached corpus (DeviceCorpus caches
+    # GLOBAL row-sharded inputs when multi-process): identical merges
+    # to the single-process run.
+    from tokengeex_tpu.train.merge import VocabularyMerger
+
+    merger = VocabularyMerger(allow=".*", num_merges=6, step=3,
+                              scale_factor=0.9, max_token_length=8,
+                              backend="device")
+    m2 = merger.merge(model, samples)
+    if proc_id <= 0:
+        data = [[t.value.hex(), repr(t.score), t.keep] for t in m2.vocab]
+        with open(out_path, "w") as f:
+            json.dump(data, f)
 elif mode == "generate_sharded":
     # Pod generate: disjoint per-process shards + allreduce of the
     # document-frequency counters == single-process full-corpus feed
@@ -185,6 +199,21 @@ def test_two_process_prune_end_to_end(tmp_path):
     # scores (repr round-trips f64 exactly), same keep flags.
     assert vocab_multi == vocab_single
     assert len(vocab_multi) <= 45 + 8  # pruned to target (+keep bytes)
+
+
+@pytest.mark.skipif(os.environ.get("TGX_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_merge_device_corpus(tmp_path):
+    """2-process BPE merge through the device-resident corpus cache
+    equals the single-process merge exactly (pair counts are integers
+    from Viterbi encodes)."""
+    multi_out, single_out = _run_workers(tmp_path, "merge", _free_port())
+    with open(multi_out) as f:
+        vocab_multi = json.load(f)
+    with open(single_out) as f:
+        vocab_single = json.load(f)
+    assert vocab_multi == vocab_single
+    assert len(vocab_multi) == 66  # 60 + 6 merges
 
 
 @pytest.mark.skipif(os.environ.get("TGX_SKIP_MULTIHOST") == "1",

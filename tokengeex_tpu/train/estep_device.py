@@ -306,10 +306,10 @@ def encode_corpus_device(
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
 
     if corpus is not None and (
-            n_proc > 1
-            or corpus.samples is not samples
+            corpus.samples is not samples
             or corpus.kernel != kernel
-            or corpus.req_max_width != max_width):
+            or corpus.req_max_width != max_width
+            or (corpus.sharding is not None) != (n_proc > 1)):
         # Built for different samples / layout: silently falling back
         # to a fresh pack is correct; reusing would misassign spans.
         corpus = None
@@ -633,6 +633,15 @@ class DeviceCorpus:
         self.packed = pack_samples(short, width=self.width,
                                    max_snippet=None)
         n_dev = len(jax.devices())
+        self.n_proc = jax.process_count()
+        self.sharding = None
+        if self.n_proc > 1:
+            from ..parallel import mesh as pmesh
+
+            # Replicated-corpus multi-process: identical global packing
+            # everywhere; cache GLOBAL row-sharded inputs so a pod merge
+            # loop also uploads the corpus once per process shard.
+            self.sharding = pmesh.data_sharding(pmesh.get_mesh())
         row_mult = n_dev * 128 if kernel == "pallas" else n_dev
         self.pad_mult = row_mult if (n_dev > 1 or kernel == "pallas") \
             else 1
@@ -650,11 +659,17 @@ class DeviceCorpus:
         if gi in self._inputs:
             gbytes, gflags = self._inputs[gi]
         else:
-            gbytes, gflags = lj.prepare_batch_inputs(sub)
-            size = int(np.prod(gbytes.shape)) + int(np.prod(gflags.shape))
+            if self.sharding is not None:
+                gbytes, gflags = lj.sharded_inputs(sub, self.sharding)
+            else:
+                gbytes, gflags = lj.prepare_batch_inputs(sub)
+            size = (int(np.prod(gbytes.shape))
+                    + int(np.prod(gflags.shape))) // self.n_proc
             if self._used + size <= self._budget:
                 self._inputs[gi] = (gbytes, gflags)
                 self._used += size
+        if self.sharding is not None:
+            return lj.prepare_batch_from_global_inputs(gbytes, gflags, L)
         return lj.prepare_batch_from_inputs(gbytes, gflags, L)
 
 
