@@ -14,6 +14,9 @@ mkdir -p "$OUT"
 export PALLAS_AXON_POOL_IPS=""
 export JAX_PLATFORMS=cpu
 export PYTHONPATH=/root/repo
+# Fail fast on the tiktoken/HF download rows when offline instead of
+# burning minutes in urllib retries.
+export HF_HUB_OFFLINE=${HF_HUB_OFFLINE:-1}
 
 python scripts/evaluate.py -l tokengeex -f "$VOCAB" \
   -i "$CORPUS/test/*.bin" -o "$OUT/tokengeex.json"
@@ -24,6 +27,13 @@ python scripts/plot.py -i "$OUT/tokengeex.json" \
   --cpt "$OUT/tokengeex-cpt.png" --freq "$OUT/tokengeex-freq.png" || true
 python scripts/plot.py -i "$OUT/hf-bpe.json" \
   --cpt "$OUT/hf-bpe-cpt.png" --freq "$OUT/hf-bpe-freq.png" || true
+
+# Host encode throughput on the held-out python split (tiktoken/HF rows
+# print as skipped offline; the TokenGeeX rows are the measurement).
+python scripts/benchmark.py 1 "$VOCAB" "$CORPUS/test/python.bin" \
+  | tee "$OUT/throughput-1t.txt" || true
+python scripts/benchmark.py 4 "$VOCAB" "$CORPUS/test/python.bin" \
+  | tee "$OUT/throughput-4t.txt" || true
 
 python - "$OUT" <<'EOF'
 import json, sys

@@ -43,7 +43,7 @@ echo "STAGE prune s=$SECONDS"
 
 SECONDS=0
 python -m tokengeex_tpu.cli filter -i "$OUT/v-pruned.json" \
-  -o "$OUT/v-filtered.json" --min-score -13.0
+  -o "$OUT/v-filtered.json" -v $((TARGET - 2768)) --min-score -13.0
 echo "STAGE filter s=$SECONDS"
 
 SECONDS=0
