@@ -25,8 +25,10 @@ def test_datagen_synthetic(tmp_path):
                    "--synthetic-quota", "0.05,0.01")
     assert r.returncode == 0, r.stderr
     train = os.listdir(os.path.join(out, "train"))
-    assert "python.bin" in train and "chinese-markdown.bin" in train
-    data = open(os.path.join(out, "train", "python.bin"), "rb").read()
+    # Synthetic sources carry a "synth-" prefix so they never collide
+    # with a real harvested/downloaded .bin of the same language.
+    assert "synth-python.bin" in train and "synth-chinese-markdown.bin" in train
+    data = open(os.path.join(out, "train", "synth-python.bin"), "rb").read()
     samples = [s for s in data.split(b"\0") if s]
     assert samples and all(16 <= len(s) for s in samples)
 
