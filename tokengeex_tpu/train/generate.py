@@ -209,11 +209,12 @@ class VocabularyGenerator:
         bit-packed candidate mask and the threaded native drain
         (tg_mask_count) extracts + per-sample-dedups the survivors, so
         no Python object is materialized per substring. Still gated
-        off by default: the mask transfer is L/8 bytes per padded
-        corpus byte, which over the dev tunnel's ~5 MB/s host link
-        loses to the ~40 MB/s threaded C++ DFA counter; on pod-local
-        links the device path is the one that scales with chips
-        (SURVEY.md section 7.6)."""
+        off by default: measured on a real v5e chip
+        (experiments/feed_bench.py, BASELINE.md round-3 row) the mask
+        compute is word-gather-roofline-bound at ~4 MB/s/chip vs 66-74
+        MB/s for the 4-thread C++ DFA counter, so one chip never wins;
+        the device path is the pod-scale OFFLOAD that scales with chip
+        count while host cores stay free (SURVEY.md section 7.6)."""
         import os
 
         if os.environ.get("TGX_DEVICE_FEED", "0") != "1":
