@@ -218,3 +218,27 @@ def test_device_feed_native_mask_drain_matches_sets():
         for cset in feed_candidates_device(dfa, samples, 6, 1.0, seed=0):
             want.update({c.decode("utf-8") for c in cset})
         assert counts == want, allow
+
+
+def test_device_feed_kernel_cached_across_calls():
+    # Round-3 perf fix: repeated feed calls (per-batch pod-shard feeds)
+    # must reuse ONE compiled mask kernel instead of re-jitting per
+    # call (~10 s remote compile each over the dev tunnel). Same-shape
+    # calls hit _MASK_FNS; the DeviceDFA upload is cached on the
+    # ByteDFA object.
+    from tokengeex_tpu.core.redfa import compile_dfa
+    from tokengeex_tpu.ops import dfa_device as dd
+
+    dfa = compile_dfa(r"^ ?[a-z]+$")
+    samples = [b"abc de", b" xyz", b"hello world"]
+    dd._MASK_FNS.clear()
+    c1 = dd.feed_counts_device(dfa, samples, 6, 1.0, seed=0)
+    n_after_first = len(dd._MASK_FNS)
+    c2 = dd.feed_counts_device(dfa, samples, 6, 1.0, seed=1)
+    assert len(dd._MASK_FNS) == n_after_first == 1
+    assert dd._device_dfa_for(dfa) is dd._device_dfa_for(dfa)
+    # p=1.0: counts are coin-free, so different seeds agree.
+    assert c1 == c2
+    # Different max_len is a new kernel (static arg), same cache dict.
+    dd.feed_counts_device(dfa, samples, 4, 1.0, seed=0)
+    assert len(dd._MASK_FNS) == 2
