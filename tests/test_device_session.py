@@ -185,9 +185,27 @@ def test_pruner_device_backend_uses_session(setup):
     pruner = VocabularyPruner(vocab_size=40, shrink_factor=0.8,
                               em_subiters=2, dropout=0.0,
                               backend="device")
-    m2 = pruner.prune(model, samples)
-    assert pruner._session is not None
-    assert len(pruner._session.slot_cache) > 0
+    seen = []
+    orig = VocabularyPruner.run_e_step
+
+    def spy(self, m, s):
+        seen.append(self._session)
+        return orig(self, m, s)
+
+    VocabularyPruner.run_e_step = spy
+    try:
+        m2 = pruner.prune(model, samples)
+    finally:
+        VocabularyPruner.run_e_step = orig
+    # The session drove the E-steps...
+    assert seen and all(s is not None for s in seen)
+    # ...and prune() released its HBM caches on the way out (a 100 MB
+    # pipeline OOMed in the merge stage when the prune session's slot
+    # caches stayed resident).
+    assert pruner._session is None
+    assert len(seen[0].slot_cache) == 0
+    assert len(seen[0].input_cache) == 0
+    assert seen[0].dt is None and seen[0].cache_used == 0
     assert m2.vocab_size() <= 49
     # Byte tokens survive (keep=True) and the model still encodes.
     ids = ed.encode_corpus_device(m2, samples[:4])

@@ -110,10 +110,18 @@ elif mode == "prune_sharded":
                               em_subiters=2, dropout=0.0, backend="device",
                               corpus_sharded=proc_id >= 0,
                               device_dtype=jnp.float64)
+    sess_seen = []
+    _orig_estep = VocabularyPruner.run_e_step
+    VocabularyPruner.run_e_step = (
+        lambda self, m, s: (sess_seen.append(self._session),
+                            _orig_estep(self, m, s))[1])
     m2 = pruner.prune(model, local)
-    assert pruner._session is not None, "device session not created"
+    VocabularyPruner.run_e_step = _orig_estep
+    assert sess_seen and sess_seen[0] is not None, \
+        "device session not created"
+    assert pruner._session is None, "session HBM not released after prune"
     if proc_id >= 0:
-        assert pruner._session.local_shard, "local_shard not active"
+        assert sess_seen[0].local_shard, "local_shard not active"
     if proc_id <= 0:
         data = [[t.value.hex(), t.score, t.keep] for t in m2.vocab]
         with open(out_path, "w") as f:
@@ -123,10 +131,19 @@ else:
 
     pruner = VocabularyPruner(vocab_size=45, shrink_factor=0.8,
                               em_subiters=2, dropout=0.0, backend="device")
+    sess_seen = []
+    _orig_estep = VocabularyPruner.run_e_step
+    VocabularyPruner.run_e_step = (
+        lambda self, m, s: (sess_seen.append(self._session),
+                            _orig_estep(self, m, s))[1])
     m2 = pruner.prune(model, samples)
+    VocabularyPruner.run_e_step = _orig_estep
     # The multi-process prune must run through the slot-cached device
-    # session (round-2 verdict item 4), not a per-pass fallback.
-    assert pruner._session is not None, "device session not created"
+    # session (round-2 verdict item 4), not a per-pass fallback; the
+    # session's HBM caches are released when prune returns.
+    assert sess_seen and sess_seen[0] is not None, \
+        "device session not created"
+    assert pruner._session is None, "session HBM not released after prune"
     if proc_id <= 0:
         data = [[t.value.hex(), repr(t.score), t.keep] for t in m2.vocab]
         with open(out_path, "w") as f:

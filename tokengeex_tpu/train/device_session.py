@@ -122,6 +122,24 @@ class DeviceTrainSession:
                 f"Pass probe=None (per-probe overrides are supported by "
                 f"encode_corpus_device only).")
 
+    def close(self) -> None:
+        """Release the session's device memory. The slot/seg/input
+        caches hold up to their budgets (8 GiB default) of HBM for the
+        whole prune loop; dropping the references here lets the backend
+        free them for the NEXT stage — a 100 MB-corpus pipeline OOMed
+        in merge's encode precisely because the prune session's caches
+        were still resident. The session is unusable afterwards."""
+        self.slot_cache.clear()
+        self.seg_cache.clear()
+        self.input_cache.clear()
+        self._fns.clear()
+        self.dt = None
+        self.tbl = None
+        self.slot_rows = None
+        self._model = None
+        self.cache_used = 0
+        self.input_used = 0
+
     # -- Model binding ------------------------------------------------------
 
     def _rebind(self, model: Model) -> None:

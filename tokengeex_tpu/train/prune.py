@@ -103,7 +103,6 @@ class VocabularyPruner:
     def prune(self, model: Model, samples: Sequence[bytes],
               checkpoint_cb=None) -> Model:
         """reference: src/prune.rs:23-57."""
-        rounds = 0
         # Pin device table shapes to the initial vocabulary so every EM
         # round reuses the same compiled graphs.
         import math as _math
@@ -143,6 +142,19 @@ class VocabularyPruner:
                     raise  # no replicated fallback: shards are disjoint
                 log.exception("device session unavailable; "
                               "falling back to per-pass probing")
+        try:
+            return self._prune_loop(model, samples, checkpoint_cb)
+        finally:
+            # Free the session's HBM caches (multiple GB) so the next
+            # pipeline stage (filter/merge encode) starts with a clean
+            # device heap.
+            if self._session is not None:
+                self._session.close()
+                self._session = None
+
+    def _prune_loop(self, model: Model, samples: Sequence[bytes],
+                    checkpoint_cb=None) -> Model:
+        rounds = 0
         while model.vocab_size() > self.vocab_size:
             for subiter in range(self.em_subiters):
                 log.info("EM subiter %d/%d", subiter + 1, self.em_subiters)
