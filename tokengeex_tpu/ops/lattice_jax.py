@@ -43,6 +43,18 @@ from .match_table import TokenTable
 
 NEG_INF = float("-inf")
 
+import os as _os
+
+
+def vscan_max_bits() -> int:
+    """Largest cuckoo table (log2 entries per side) that gets the
+    in-VMEM fused-probe layout. At bits=b each side's (check, score)
+    pre-broadcast arrays cost 2^b * 64 B of VMEM and the in-kernel scan
+    visits 2^b / 128 rows per probe tile — measured break-even vs the
+    XLA HBM row gather is around 2^17 total entries, with VMEM capacity
+    binding first (4 arrays at bits=15 = 4 MB of the ~16 MB core)."""
+    return int(_os.environ.get("TGX_VSCAN_BITS", "15"))
+
 
 @dataclasses.dataclass(frozen=True)
 class DeviceBatch:
@@ -101,6 +113,16 @@ class DeviceTables:
     bk_slot_len: Optional[np.ndarray] = None
     bk_bits: int = 0
     bk_salt: int = 0
+    # In-VMEM scan ("vscan") layout for the fused Pallas probe
+    # (ops/lattice_pallas_fused.py): per cuckoo table, check (fp2) and
+    # f32-score-bit columns with every 128-entry table row pre-broadcast
+    # across 8 sublanes -> (H/128*8, 128) int32. Built only for tables
+    # small enough to scan faster than the XLA HBM gather (bits <=
+    # VSCAN_MAX_BITS); cost of the in-kernel scan is linear in H.
+    c1_vs: Optional[jax.Array] = None
+    s1_vs: Optional[jax.Array] = None
+    c2_vs: Optional[jax.Array] = None
+    s2_vs: Optional[jax.Array] = None
 
     @staticmethod
     def from_table(tbl: TokenTable, dtype=jnp.float32) -> "DeviceTables":
@@ -133,6 +155,27 @@ class DeviceTables:
         fa2, ex2, ids2, lens2 = split(tbl.t2)
         assert tbl.vocab_size < (1 << 24), "id packing needs vocab < 16M"
         scores = scores64 if dtype == jnp.float64 else tbl.scores
+
+        def vscan(t: np.ndarray):
+            """(check, score) vscan arrays: (H/128*8, 128) int32 each,
+            table rows pre-broadcast x8 sublanes (fused Pallas probe)."""
+            tid = t[:, 3].astype(np.uint32)
+            empty = tid == np.uint32(0xFFFFFFFF)
+            check = np.where(empty, np.uint32(0), t[:, 1].astype(np.uint32))
+            sc = np.where(
+                empty, np.float32(-3.0e38),
+                scores64[np.where(empty, 0, tid)].astype(np.float32))
+            H_ = t.shape[0]
+            c = np.repeat(check.view(np.int32).reshape(H_ // 128, 128),
+                          8, axis=0)
+            s = np.repeat(sc.view(np.int32).reshape(H_ // 128, 128),
+                          8, axis=0)
+            return jnp.asarray(c), jnp.asarray(s)
+
+        c1v = s1v = c2v = s2v = None
+        if dtype != jnp.float64 and tbl.bits <= vscan_max_bits():
+            c1v, s1v = vscan(tbl.t1)
+            c2v, s2v = vscan(tbl.t2)
         return DeviceTables(
             t1_fast=fa1, t2_fast=fa2,
             t1_exact=ex1, t2_exact=ex2,
@@ -147,6 +190,7 @@ class DeviceTables:
             bk_slot_len=tbl.bk_lens,
             bk_bits=tbl.bk_bits,
             bk_salt=tbl.bk_salt,
+            c1_vs=c1v, s1_vs=s1v, c2_vs=c2v, s2_vs=s2v,
         )
 
     @property
@@ -969,6 +1013,226 @@ def _scan_forward(
 
 
 # ---------------------------------------------------------------------------
+# Fused-probe drivers (in-VMEM table scan; ops/lattice_pallas_fused.py)
+# ---------------------------------------------------------------------------
+
+
+def _ceil8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _fused_tabs(tbl: DeviceTables):
+    return (tbl.c1_vs, tbl.s1_vs, tbl.c2_vs, tbl.s2_vs)
+
+
+def _strm(x):
+    """(B, C) -> (G, C, 1, 128) stream layout."""
+    return _rows_to_groups(x)
+
+
+def _hist_g(x, Lp: int, fill):
+    """(B, L') -> (G, Lp, 128), right-padded along L'."""
+    B, Lc = x.shape
+    if Lc < Lp:
+        x = jnp.pad(x, ((0, 0), (0, Lp - Lc)), constant_values=fill)
+    return _hist_to_groups(x)
+
+
+def _shared_strm(v):
+    """(C,) group-independent stream -> (1, C, 1, 128)."""
+    return jnp.broadcast_to(v[None, :, None, None], (1, v.shape[0], 1, 128))
+
+
+def _shared_hist(v, Lp: int, fill):
+    """(L',) -> (1, Lp, 128)."""
+    if v.shape[0] < Lp:
+        v = jnp.pad(v, (0, Lp - v.shape[0]), constant_values=fill)
+    return jnp.broadcast_to(v[:, None], (Lp, 128))[None]
+
+
+def _scan_forward_fused(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    kind: str,  # "viterbi" | "logsumexp"
+    C: int = 512,
+    dtype=jnp.float32,
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    carry: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """_scan_forward with the vocabulary probe fused into the Pallas DP
+    kernel: fingerprints are computed in-kernel from streamed prefix
+    hashes and probed against the VMEM-resident vscan tables — no
+    (B, L, W) score materialization and no XLA HBM gathers at all.
+    Semantics identical to _scan_forward(backend='pallas') with a fresh
+    probe (cache=None)."""
+    from . import lattice_pallas_fused as lpf
+
+    B = batch.p1.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    Lp = _ceil8(L)
+    pad = batch.pad
+    assert B % 128 == 0 and W % C == 0 and dtype == jnp.float32
+    assert tbl.c1_vs is not None
+    G = B // 128
+    nchunks = W // C
+    neg = jnp.float32(NEG_INF)
+    tabs = _fused_tabs(tbl)
+    use_drop = drop_u is not None and dropout > 0.0
+    if not use_drop:
+        drop_u = jnp.zeros((B, batch.sid.shape[1]), jnp.int32)
+        dropout = 0.0
+
+    inb_all = (batch.sid[:, pad : pad + W] >= 0).astype(jnp.int32)
+    stb_all = batch.is_start[:, :W].astype(jnp.int32)
+    std_all = batch.is_start[:, 1:].astype(jnp.float32)
+
+    def chunk_body(carry_t, chunk_idx):
+        hist_g, rl_g = carry_t
+        cs = chunk_idx * C
+        pe1 = _strm(jax.lax.dynamic_slice(batch.p1, (0, pad + cs + 1),
+                                          (B, C)))
+        pe2 = _strm(jax.lax.dynamic_slice(batch.p2, (0, pad + cs + 1),
+                                          (B, C)))
+        rv1 = _shared_strm(jax.lax.dynamic_slice(batch.rinv1,
+                                                 (pad + cs,), (C,)))
+        rv2 = _shared_strm(jax.lax.dynamic_slice(batch.rinv2,
+                                                 (pad + cs,), (C,)))
+        ph01 = _hist_g(jax.lax.dynamic_slice(
+            batch.p1, (0, pad + cs - L + 1), (B, L))[:, ::-1], Lp, 0)
+        ph02 = _hist_g(jax.lax.dynamic_slice(
+            batch.p2, (0, pad + cs - L + 1), (B, L))[:, ::-1], Lp, 0)
+        rh01 = _shared_hist(jax.lax.dynamic_slice(
+            batch.rinv1, (pad + cs - L,), (L,))[::-1], Lp, 0)
+        rh02 = _shared_hist(jax.lax.dynamic_slice(
+            batch.rinv2, (pad + cs - L,), (L,))[::-1], Lp, 0)
+        inb = _strm(jax.lax.dynamic_slice(inb_all, (0, cs), (B, C)))
+        stb = _strm(jax.lax.dynamic_slice(stb_all, (0, cs), (B, C)))
+        std = _strm(jax.lax.dynamic_slice(std_all, (0, cs), (B, C)))
+        du = _strm(jax.lax.dynamic_slice(drop_u, (0, pad + cs), (B, C)))
+        dh0 = _hist_g(jax.lax.dynamic_slice(
+            drop_u, (0, pad + cs - L), (B, L))[:, ::-1], Lp, 0)
+
+        out0, out1, hist_g, rl_g = lpf.fused_forward_chunk(
+            kind, tabs, pe1, pe2, rv1, rv2, ph01, ph02, rh01, rh02,
+            inb, stb, std, du, dh0, hist_g, rl_g,
+            L=L, bits=tbl.bits, dropout=dropout,
+            interpret=_pallas_interpret())
+        return (hist_g, rl_g), (out0, out1)
+
+    from . import lattice_pallas as lp
+
+    hist0 = jnp.full((B, L), NEG_INF, dtype=dtype)
+    dp0 = jnp.where(batch.is_start[:, 0], 0.0, neg).astype(dtype)
+    hist0 = hist0.at[:, 0].set(dp0)
+    if carry is not None:
+        mask, carry_hist = carry
+        hist0 = jnp.where(mask[:, None], carry_hist.astype(dtype), hist0)
+    hist_g0 = _hist_g(jnp.maximum(hist0, lp.NEG), Lp, lp.NEG)
+    rl0 = jnp.where(batch.sid[:, pad - 1] >= 0, jnp.int32(L),
+                    jnp.int32(0))
+    rl_g0 = jnp.transpose(rl0.reshape(G, 128), (0, 1))[:, None, :]
+
+    (_, _), outs = jax.lax.scan(chunk_body, (hist_g0, rl_g0),
+                                jnp.arange(nchunks))
+
+    def assemble(stacked):  # (nchunks, G, C, 1, 128) -> (B, W)
+        parts = jnp.moveaxis(stacked, 0, 1)  # (G, nchunks, C, 1, 128)
+        parts = parts.reshape(G, W, 1, 128)
+        return _groups_to_rows(parts)
+
+    if kind == "viterbi":
+        dp = assemble(outs[0])
+        best_l = assemble(outs[1])
+        dp = jnp.where(dp <= lp.NEG * 0.5, NEG_INF, dp)
+        return dp, best_l
+    a = assemble(outs[0])
+    a = jnp.where(a <= lp.NEG * 0.5, NEG_INF, a)
+    a0 = jnp.where(batch.is_start[:, 0], 0.0, neg).astype(dtype)[:, None]
+    return jnp.concatenate([a0, a], axis=1)
+
+
+def _backward_betas_fused_impl(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    C: int = 512,
+    dtype=jnp.float32,
+    drop_u: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+) -> jax.Array:
+    """_backward_betas_impl with the probe fused into a Pallas kernel
+    (start-indexed fingerprints computed in-kernel). Returns (B, W+1)
+    post-reset log-betas, exactly like the XLA implementation."""
+    from . import lattice_pallas as lp
+    from . import lattice_pallas_fused as lpf
+
+    B = batch.p1.shape[0]
+    W = batch.width
+    L = tbl.max_len
+    Lp = _ceil8(L)
+    pad = batch.pad
+    assert B % 128 == 0 and W % C == 0 and dtype == jnp.float32
+    assert tbl.c1_vs is not None
+    G = B // 128
+    nchunks = W // C
+    tabs = _fused_tabs(tbl)
+    use_drop = drop_u is not None and dropout > 0.0
+    if not use_drop:
+        drop_u = jnp.zeros((B, batch.sid.shape[1]), jnp.int32)
+        dropout = 0.0
+
+    inb_all = (batch.sid[:, pad : pad + W] >= 0).astype(jnp.int32)
+    stb_all = batch.is_start[:, :W].astype(jnp.int32)
+    ends_all = batch.is_end[:, :W].astype(jnp.float32)
+
+    def chunk_body(carry_t, chunk_idx_rev):
+        hist_g, fr_g, sn_g = carry_t
+        chunk_idx = (nchunks - 1) - chunk_idx_rev
+        cs = chunk_idx * C
+        ce = cs + C
+        ps1 = _strm(jax.lax.dynamic_slice(batch.p1, (0, pad + cs), (B, C)))
+        ps2 = _strm(jax.lax.dynamic_slice(batch.p2, (0, pad + cs), (B, C)))
+        rv1 = _shared_strm(jax.lax.dynamic_slice(batch.rinv1,
+                                                 (pad + cs,), (C,)))
+        rv2 = _shared_strm(jax.lax.dynamic_slice(batch.rinv2,
+                                                 (pad + cs,), (C,)))
+        # Invariant at step q: phf[j] = P[q+1+j]; the first processed
+        # step of the chunk is q = ce-1, so init phf[j] = P[ce+j].
+        phf01 = _hist_g(jax.lax.dynamic_slice(
+            batch.p1, (0, pad + ce), (B, L)), Lp, 0)
+        phf02 = _hist_g(jax.lax.dynamic_slice(
+            batch.p2, (0, pad + ce), (B, L)), Lp, 0)
+        inb = _strm(jax.lax.dynamic_slice(inb_all, (0, cs), (B, C)))
+        stb = _strm(jax.lax.dynamic_slice(stb_all, (0, cs), (B, C)))
+        ends = _strm(jax.lax.dynamic_slice(ends_all, (0, cs), (B, C)))
+        du = _strm(jax.lax.dynamic_slice(drop_u, (0, pad + cs), (B, C)))
+
+        bt, hist_g, fr_g, sn_g = lpf.fused_backward_chunk(
+            tabs, ps1, ps2, rv1, rv2, phf01, phf02, inb, stb, ends, du,
+            hist_g, fr_g, sn_g, L=L, bits=tbl.bits, dropout=dropout,
+            interpret=_pallas_interpret())
+        return (hist_g, fr_g, sn_g), bt
+
+    hist0 = jnp.full((B, L), NEG_INF, dtype=dtype)
+    bW = jnp.where(batch.is_end[:, W], 0.0, NEG_INF).astype(dtype)
+    hist0 = hist0.at[:, 0].set(bW)
+    hist_g0 = _hist_g(jnp.maximum(hist0, lp.NEG), Lp, lp.NEG)
+    fr_g0 = jnp.zeros((G, 1, 128), jnp.int32)
+    sn0 = batch.is_start[:, W].astype(jnp.int32)
+    sn_g0 = sn0.reshape(G, 128)[:, None, :]
+
+    _, stacked = jax.lax.scan(chunk_body, (hist_g0, fr_g0, sn_g0),
+                              jnp.arange(nchunks))
+    # (nchunks desc, G, C, 1, 128): chunks were processed last-to-first;
+    # within each chunk positions are already ascending.
+    parts = jnp.moveaxis(stacked[::-1], 0, 1).reshape(G, W, 1, 128)
+    bt = _groups_to_rows(parts)
+    bt = jnp.where(bt <= lp.NEG * 0.5, NEG_INF, bt)
+    return jnp.concatenate([bt, bW[:, None]], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Jitted entry points
 #
 # The trainers call these once per row group from ordinary Python; run
@@ -984,7 +1248,8 @@ def _scan_forward(
 
 def _dt_args(tbl: DeviceTables):
     return (tbl.t1_fast, tbl.t2_fast, tbl.t1_exact, tbl.t2_exact,
-            tbl.scores, tbl.t_bucket)
+            tbl.scores, tbl.t_bucket, tbl.c1_vs, tbl.s1_vs, tbl.c2_vs,
+            tbl.s2_vs)
 
 
 def _dt_meta(tbl: DeviceTables):
@@ -994,12 +1259,18 @@ def _dt_meta(tbl: DeviceTables):
 
 def _rebuild_dt(arrs, meta) -> DeviceTables:
     bits, max_len, vocab_size, bk_bits, bk_salt = meta
+
+    def opt(a):
+        return a if a is not None and a.size else None
+
     return DeviceTables(
         t1_fast=arrs[0], t2_fast=arrs[1], t1_exact=arrs[2],
         t2_exact=arrs[3], scores=arrs[4], slot_to_id=None, slot_len=None,
         bits=bits, max_len=max_len, vocab_size=vocab_size,
-        t_bucket=arrs[5], bk_slot_to_id=None, bk_slot_len=None,
+        t_bucket=opt(arrs[5]), bk_slot_to_id=None, bk_slot_len=None,
         bk_bits=bk_bits, bk_salt=bk_salt,
+        c1_vs=opt(arrs[6]), s1_vs=opt(arrs[7]), c2_vs=opt(arrs[8]),
+        s2_vs=opt(arrs[9]),
     )
 
 
@@ -1037,6 +1308,9 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
                                  probe)
     if op in ("viterbi", "forward"):
         kind = "viterbi" if op == "viterbi" else "logsumexp"
+        if backend == "fused":
+            return _scan_forward_fused(tbl, batch, kind, C, dtype,
+                                       drop_u, dropout, carry)
         return _scan_forward(tbl, batch, kind, C, unroll, dtype, drop_u,
                              dropout, backend, probe, cache, carry)
     if op == "backward_expected":
@@ -1044,8 +1318,23 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
                                        drop_u, dropout, backend, probe,
                                        cache)
     if op == "backward_betas":
+        if backend == "fused":
+            return _backward_betas_fused_impl(tbl, batch, C, dtype,
+                                              drop_u, dropout)
         return _backward_betas_impl(tbl, batch, C, unroll, dtype, drop_u,
                                     dropout, probe, cache)
+    if op == "estep_fused":
+        # Session EM pass with the probe fused in-kernel: forward +
+        # backward betas re-probe the VMEM tables (nearly free for
+        # vscan-sized vocabularies) and segsum turns betas into counts
+        # via the session's static sorted-hit structure. One dispatch.
+        A = _scan_forward_fused(tbl, batch, "logsumexp", C, dtype,
+                                drop_u, dropout, None)
+        Bt = _backward_betas_fused_impl(tbl, batch, C, dtype, drop_u,
+                                        dropout)
+        exp = _segsum_expected_impl(tbl, batch, A, Bt, seg, slot_rows,
+                                    drop_u, dropout, dtype)
+        return A, exp
     if op == "segsum_expected":
         return _segsum_expected_impl(tbl, batch, A, Bt, seg, slot_rows,
                                      drop_u, dropout, dtype)
@@ -1081,20 +1370,23 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
 # from inside another trace).
 _SCORES_PLACEHOLDER = np.zeros((0,), np.float32)
 _TBUCKET_PLACEHOLDER = np.zeros((0, 16), np.int32)
+_VSCAN_PLACEHOLDER = np.zeros((0, 128), np.int32)
 
 
 def dt_call_args(tbl: DeviceTables, dtype=jnp.float32, probe=None):
     """Per-call table arrays for a prebuilt jitted/sharded fn built by
     the mesh factories: f32 modes swap the scores array for a stable
     placeholder (see _dispatch — otherwise every vocabulary rebind
-    re-keys the jit cache and recompiles); a missing bucket table
-    becomes a zero-size stand-in so the call tree structure is stable."""
+    re-keys the jit cache and recompiles); missing bucket/vscan tables
+    become zero-size stand-ins so the call tree structure is stable."""
     arrs = _dt_args(tbl)
     mode = probe or _probe_mode(tbl, dtype)
     if mode != "exact":
         arrs = arrs[:4] + (_SCORES_PLACEHOLDER,) + arrs[5:]
     if arrs[5] is None:
-        arrs = arrs[:5] + (_TBUCKET_PLACEHOLDER,)
+        arrs = arrs[:5] + (_TBUCKET_PLACEHOLDER,) + arrs[6:]
+    arrs = arrs[:6] + tuple(
+        a if a is not None else _VSCAN_PLACEHOLDER for a in arrs[6:])
     return arrs
 
 
@@ -1159,11 +1451,12 @@ def backward_expected(tbl, batch, A, C=256, unroll=16, dtype=jnp.float32,
 
 
 def backward_betas(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
-                   drop_u=None, dropout=0.0, probe=None, cache=None):
+                   drop_u=None, dropout=0.0, probe=None, cache=None,
+                   backend="xla"):
     """See _backward_betas_impl (jitted entry)."""
     return _dispatch("backward_betas", tbl, batch, C=C, unroll=unroll,
                      dtype=dtype, drop_u=drop_u, dropout=dropout,
-                     probe=probe, cache=cache)
+                     probe=probe, cache=cache, backend=backend)
 
 
 def segsum_expected(tbl, batch, A, Bt, seg, slot_rows, drop_u=None,
@@ -1193,6 +1486,21 @@ def viterbi_cached(tbl, batch, slots, slot_rows, drop_u=None, dropout=0.0,
                      dtype=dtype, drop_u=drop_u, dropout=dropout,
                      backend=backend, probe=probe, cache=slots,
                      slot_rows=slot_rows)
+
+
+def has_vscan(tbl: DeviceTables) -> bool:
+    """True when the table carries the in-VMEM fused-probe layout."""
+    return tbl.c1_vs is not None
+
+
+def estep_fused(tbl, batch, seg, slot_rows, drop_u=None, dropout=0.0,
+                C=512, dtype=jnp.float32):
+    """(A, expected-count accumulator) with the probe fused into the
+    Pallas scans (ONE jitted dispatch; requires has_vscan(tbl) and a
+    SegStruct for the count side)."""
+    return _dispatch("estep_fused", tbl, batch, C=C, dtype=dtype,
+                     drop_u=drop_u, dropout=dropout, backend="fused",
+                     seg=seg, slot_rows=slot_rows)
 
 
 @jax.jit

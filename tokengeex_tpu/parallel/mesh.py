@@ -111,11 +111,12 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     if ck in _FN_CACHE:
         return _FN_CACHE[ck]
 
-    def local_step(t1f, t2f, t1e, t2e, sc, tb,
+    def local_step(t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v,
                    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
                    *rest):
         rest = list(rest)
-        tbl = lj._rebuild_dt((t1f, t2f, t1e, t2e, sc, tb), meta)
+        tbl = lj._rebuild_dt(
+            (t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v), meta)
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
@@ -140,8 +141,8 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
         expected = jax.lax.psum(expected, axis)
         return A, expected
 
-    base_specs = (P(),) * 6 + (P(axis), P(axis), P(axis), P(axis),
-                               P(axis), P(axis), P(), P())
+    base_specs = (P(),) * 10 + (P(axis), P(axis), P(axis), P(axis),
+                                P(axis), P(axis), P(), P())
     in_specs = base_specs
     if with_cache:
         in_specs = in_specs + (P(axis), P(axis))
@@ -178,9 +179,10 @@ def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
     if ck in _FN_CACHE:
         return _FN_CACHE[ck]
 
-    def local_step(t1f, t2f, t1e, t2e, sc, tb,
+    def local_step(t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v,
                    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
-        tbl = lj._rebuild_dt((t1f, t2f, t1e, t2e, sc, tb), meta)
+        tbl = lj._rebuild_dt(
+            (t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v), meta)
         batch = lj.DeviceBatch(
             p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
             end_index=end_index, rinv1=rinv1, rinv2=rinv2,
@@ -191,7 +193,7 @@ def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(),) * 6 + (P(axis),) * 6 + (P(), P()),
+        in_specs=(P(),) * 10 + (P(axis),) * 6 + (P(), P()),
         out_specs=(P(axis), P(axis)),
     )
     _FN_CACHE[ck] = jax.jit(sharded)
@@ -225,11 +227,12 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
     if ck in _FN_CACHE:
         return _FN_CACHE[ck]
 
-    def local_step(t1f, t2f, t1e, t2e, sc, tb,
+    def local_step(t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v,
                    p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
                    *rest):
         rest = list(rest)
-        tbl = lj._rebuild_dt((t1f, t2f, t1e, t2e, sc, tb), meta)
+        tbl = lj._rebuild_dt(
+            (t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v), meta)
         carry = None
         cache = None
         if chained:
@@ -246,7 +249,7 @@ def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
                           drop_u=drop_u, dropout=dropout, probe=mode,
                           carry=carry, cache=cache)
 
-    in_specs = (P(),) * 6 + (P(axis),) * 6 + (P(), P())
+    in_specs = (P(),) * 10 + (P(axis),) * 6 + (P(), P())
     if chained:
         in_specs = in_specs + (P(axis), P(axis))
     if with_cache:

@@ -341,6 +341,36 @@ class DeviceTrainSession:
             self.cache_used += size
         return score, slots
 
+    def _fused(self) -> bool:
+        """Whether the in-VMEM fused-probe kernels apply to this
+        session's binding (small vocabulary; see lattice_jax.has_vscan)."""
+        import jax.numpy as jnp
+
+        return (self.kernel == "pallas" and not self.use_mesh
+                and self.dtype == jnp.float32
+                and self.probe in (None, "fast", "bucket", "em")
+                and lj.has_vscan(self.dt))
+
+    def _fused_seg(self, gi: int, batch):
+        """SegStruct for the fused E-step (probing the group once to
+        build it, cached for the session); None when over budget."""
+        if gi in self.seg_cache:
+            return self.seg_cache[gi]
+        _score, slots = self._probe_group(gi, batch)
+        if gi not in self.slot_cache:
+            # Slots fell out of budget: segsum would be rebuilt every
+            # pass; let the caller fall through to the probing path.
+            return None
+        seg = self._seg_for(gi, slots)
+        if seg is not None:
+            # The fused kernels re-probe in-kernel; once the seg
+            # structure exists the slot array has no further reader —
+            # release its HBM (VERDICT r3: seg memory is the session's
+            # footprint wall).
+            del self.slot_cache[gi]
+            self.cache_used -= int(np.prod(slots.shape)) * 4
+        return seg
+
     def _seg_for(self, gi: int, slots):
         """SegStruct for a slot-cached group (built once, reused by
         every E-step pass; slots are static across rebinds).
@@ -438,6 +468,15 @@ class DeviceTrainSession:
                 if dropout > 0.0:
                     args = args + (drop_u,)
                 A, exp_g = fns["estep"](*args)
+            elif self.dtype != jnp.float64 and self._fused() \
+                    and (seg := self._fused_seg(gi, batch)) is not None:
+                # Fused-probe steady state: forward + backward betas
+                # re-probe the VMEM tables in-kernel (no slot-cache
+                # score regather at all); segsum turns betas into
+                # counts via the session's static sorted-hit structure.
+                A, exp_g = lj.estep_fused(
+                    self.dt, batch, seg, self.slot_rows, drop_u=drop_u,
+                    dropout=dropout, C=self.chunk, dtype=self.dtype)
             elif self.dtype != jnp.float64 and gi in self.slot_cache:
                 # Steady state: ONE fused dispatch per group (score
                 # regather + forward + backward + counts).
@@ -559,6 +598,10 @@ class DeviceTrainSession:
                 dp, best_l = fns["viterbi"](
                     *(self._dt_call() + pmesh.batch_to_arrays(batch)
                       + (score, slots)))
+            elif self._fused():
+                # Fused probe: no slot cache or score regather needed.
+                dp, best_l = lj.viterbi(self.dt, batch, C=self.chunk,
+                                        dtype=self.dtype, backend="fused")
             elif self.dtype != jnp.float64 and gi in self.slot_cache:
                 dp, best_l = lj.viterbi_cached(
                     self.dt, batch, self.slot_cache[gi], self.slot_rows,
