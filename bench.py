@@ -146,6 +146,7 @@ def main():
     L = dt.max_len
 
     kernel = "pallas" if platform == "tpu" else "xla"
+    fused = lj.has_vscan(dt) and kernel == "pallas"
     t0 = time.time()
     packed = pack_samples(samples, width=width, max_snippet=width,
                           row_multiple=128)
@@ -153,145 +154,64 @@ def main():
     jax.block_until_ready(batch.p1)
     prep_s = time.time() - t0
     log(f"packed {packed.rows} x {width} rows (prep {prep_s:.2f}s, "
-        f"kernel={kernel})")
+        f"kernel={kernel}, fused={fused})")
+    Cc = min(512, width)
 
-    @jax.jit
-    def vit(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
-        b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
-                           is_end=is_end, end_index=end_index,
-                           rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-        return lj.viterbi(dt, b, C=min(512, width), unroll=8,
-                          dtype=jnp.float32, backend=kernel)
+    def sync(out):
+        # device_get forces real completion (block_until_ready does not
+        # round-trip through the axon relay).
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
 
-    args = (batch.p1, batch.p2, batch.sid, batch.is_start, batch.is_end,
-            batch.end_index, batch.rinv1, batch.rinv2)
-
-    t0 = time.time()
-    out = vit(*args)
-    jax.block_until_ready(out)
-    log(f"compile+first: {time.time()-t0:.1f}s")
-
-    runs = []
-    for _ in range(3):
+    def timed(name, fn, calls=3):
         t0 = time.time()
-        out = vit(*args)
-        jax.block_until_ready(out)
-        runs.append(time.time() - t0)
-    best = min(runs)
-    dev_rate = total_bytes / best
-    log(f"device steady: {best:.3f}s -> {dev_rate/1e6:.1f} MB/s")
+        sync(fn())
+        log(f"{name}: compile+first {time.time()-t0:.1f}s")
+        runs = []
+        for _ in range(calls):
+            t0 = time.time()
+            sync(fn())
+            runs.append(time.time() - t0)
+        best = min(runs)
+        log(f"{name}: steady {best:.3f}s -> {total_bytes/best/1e6:.1f} MB/s")
+        return total_bytes / best
 
+    vit_backend = "fused" if fused else kernel
+    dev_rate = timed(
+        f"viterbi ({vit_backend})",
+        lambda: lj.viterbi(dt, batch, C=Cc, unroll=8, backend=vit_backend))
+
+    em_rate = None
     if os.environ.get("TGX_BENCH_EM", "1") == "1":
-        # Secondary metrics (stderr): one cold EM E-step (probe +
-        # forward + backward) and the SESSION steady state — scores
-        # re-gathered per cached slot, which is what every EM
-        # sub-iteration and prune round after the first costs.
-        Cc = min(512, width)
-
-        @jax.jit
-        def estep(p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2):
-            b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
-                               is_end=is_end, end_index=end_index,
-                               rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-            cache = lj.match_cache(dt, b, C=Cc, dtype=jnp.float32)
-            A = lj.forward(dt, b, C=Cc, unroll=8, dtype=jnp.float32,
-                           backend=kernel, cache=cache)
-            acc = lj.backward_expected(dt, b, A, C=Cc, unroll=8,
-                                       dtype=jnp.float32, backend=kernel,
-                                       cache=cache)
-            return A, acc, cache[1]
-
+        # EM sub-iteration at session steady state: the probe/seg
+        # structures are built once per session and amortize over every
+        # EM pass, Viterbi frequency pass, and prune round.
         t0 = time.time()
-        out = estep(*args)
-        jax.block_until_ready(out)
-        log(f"estep compile+first: {time.time()-t0:.1f}s")
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            out = estep(*args)
-            jax.block_until_ready(out)
-            runs.append(time.time() - t0)
-        em_rate = total_bytes / min(runs)
-        log(f"estep cold: {min(runs):.3f}s -> {em_rate/1e6:.1f} MB/s "
-            f"({1e9/em_rate:.1f} s/GB per probing EM sub-iteration)")
-
-        slots = out[2]
-        slot_rows = lj.slot_score_rows(dt)
-
-        @jax.jit
-        def estep_cached(p1, p2, sid, is_start, is_end, end_index,
-                         rinv1, rinv2, slot_rows, slots):
-            b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
-                               is_end=is_end, end_index=end_index,
-                               rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-            score = lj.score_from_slots(slot_rows, slots, jnp.float32)
-            A = lj.forward(dt, b, C=Cc, unroll=8, dtype=jnp.float32,
-                           backend=kernel, cache=(score, slots))
-            acc = lj.backward_expected(dt, b, A, C=Cc, unroll=8,
-                                       dtype=jnp.float32, backend=kernel,
-                                       cache=(score, slots))
-            return A, acc
-
-        cargs = args + (slot_rows, slots)
-        t0 = time.time()
-        out = estep_cached(*cargs)
-        jax.block_until_ready(out)
-        log(f"estep cached compile+first: {time.time()-t0:.1f}s")
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            out = estep_cached(*cargs)
-            jax.block_until_ready(out)
-            runs.append(time.time() - t0)
-        emc_rate = total_bytes / min(runs)
-        log(f"estep cached steady: {min(runs):.3f}s -> "
-            f"{emc_rate/1e6:.1f} MB/s "
-            f"({1e9/emc_rate:.1f} s/GB per cached EM sub-iteration)")
-
-        # Scatter-free session path: static sorted-hit structure built
-        # once from the cached slots (what DeviceTrainSession uses).
+        _score, slots = lj.match_cache(dt, batch, C=Cc, dtype=jnp.float32)
+        sync(slots)
+        log(f"session probe (once): {time.time()-t0:.1f}s")
         t0 = time.time()
         seg = lj.build_seg_struct(slots, lj.seg_nbins(dt, jnp.float32))
-        jax.block_until_ready(seg.perm[0])
-        log(f"seg struct build: {time.time()-t0:.1f}s "
+        sync(seg.perm)
+        log(f"seg struct build (once): {time.time()-t0:.1f}s "
             f"({seg.nbytes()/1e6:.0f} MB)")
-
-        @jax.jit
-        def estep_segsum(p1, p2, sid, is_start, is_end, end_index,
-                         rinv1, rinv2, slot_rows, slots, seg):
-            b = lj.DeviceBatch(p1=p1, p2=p2, sid=sid, is_start=is_start,
-                               is_end=is_end, end_index=end_index,
-                               rinv1=rinv1, rinv2=rinv2, width=width, pad=L)
-            score = lj.score_from_slots(slot_rows, slots, jnp.float32)
-            A = lj.forward(dt, b, C=Cc, unroll=8, dtype=jnp.float32,
-                           backend=kernel, cache=(score, slots))
-            Bt = lj.backward_betas(dt, b, C=Cc, unroll=8,
-                                   dtype=jnp.float32,
-                                   cache=(score, slots))
-            return A, lj.segsum_expected(dt, b, A, Bt, seg, slot_rows)
-
-        sargs = cargs + (seg,)
-        t0 = time.time()
-        out = estep_segsum(*sargs)
-        jax.block_until_ready(out)
-        log(f"estep segsum compile+first: {time.time()-t0:.1f}s")
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            out = estep_segsum(*sargs)
-            jax.block_until_ready(out)
-            runs.append(time.time() - t0)
-        ems_rate = total_bytes / min(runs)
-        log(f"estep segsum steady: {min(runs):.3f}s -> "
-            f"{ems_rate/1e6:.1f} MB/s "
-            f"({1e9/ems_rate:.1f} s/GB per session EM sub-iteration)")
+        slot_rows = lj.slot_score_rows(dt)
+        if fused:
+            em_rate = timed(
+                "estep (fused probe + segsum)",
+                lambda: lj.estep_fused(dt, batch, seg, slot_rows, C=Cc))
+        else:
+            em_rate = timed(
+                "estep (cached slots + segsum)",
+                lambda: lj.estep_cached(dt, batch, slots, slot_rows,
+                                        seg=seg, C=Cc, backend=kernel))
+        log(f"estep: {1e9/em_rate:.1f} s/GB per EM sub-iteration")
 
     vs = (dev_rate / nat_rate) if nat_rate else 0.0
-    # roofline_fraction: achieved fraction of the measured pure-gather
-    # roofline for this workload's probe (one x16-row t_bucket gather
-    # per (pos, len) at the measured 0.386 G rows/s; BASELINE.md
-    # "Measured gather rooflines"). The native CPU baseline underneath
-    # vs_baseline fluctuates 6-79 MB/s run-to-run on this shared host.
+    # gather_roofline_x: achieved multiple of the ROUND-3 pure-gather
+    # roofline (one x16-row bucket gather per (pos, len) at the
+    # measured 0.386 G rows/s — BASELINE.md). The fused-probe kernel
+    # removed those gathers entirely, so values > 1 are expected and
+    # mean the old roofline itself was beaten, not violated.
     gather_roofline = 0.386e9 / L  # bytes/s: L row gathers per byte
     print(json.dumps({
         "metric": f"viterbi_encode_bytes_per_s_{platform}",
@@ -300,8 +220,13 @@ def main():
         "vs_baseline": round(vs, 4),
         "platform": platform,
         "fallback": platform != "tpu",
-        "roofline_fraction": round(dev_rate / gather_roofline, 4)
+        "fused_probe": fused,
+        "gather_roofline_x": round(dev_rate / gather_roofline, 4)
         if platform == "tpu" else None,
+        "em_bytes_per_s": round(em_rate, 1) if em_rate else None,
+        "em_s_per_gb": round(1e9 / em_rate, 1) if em_rate else None,
+        "em_vs_native_4t_round1": round(em_rate / 9.8e6, 3)
+        if em_rate else None,
     }))
 
 

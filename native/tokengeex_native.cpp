@@ -808,6 +808,102 @@ extern "C" int64_t tg_substring_count(
   return serialize_counts(merged, out_buf, cap);
 }
 
+// Decode a batch of id sequences to concatenated token bytes
+// (reference: src/tokenizer.rs:178-187 decode_batch = rayon map of
+// Model::decode, src/model.rs:146-160). Inputs: flat ids + offsets
+// (n_seqs+1). Outputs: out_bytes (capacity cap), out_offsets
+// (n_seqs+1). Returns total bytes written, -(seq_index+1) on an
+// out-of-range id, or -1000000000 - needed when cap is too small.
+extern "C" int64_t tg_decode_batch(Model* m, const int32_t* ids,
+                                   const int64_t* offsets, int64_t n_seqs,
+                                   uint8_t* out_bytes, int64_t cap,
+                                   int64_t* out_offsets, int num_threads) {
+  int64_t vocab = static_cast<int64_t>(m->tokens.size());
+  std::vector<int64_t> sizes(n_seqs, 0);
+  std::atomic<int64_t> fail(-1);
+  parallel_for(n_seqs, num_threads, [&](int64_t b, int64_t e, int) {
+    for (int64_t i = b; i < e; ++i) {
+      int64_t total = 0;
+      for (int64_t k = offsets[i]; k < offsets[i + 1]; ++k) {
+        int32_t tid = ids[k];
+        if (tid < 0 || tid >= vocab) {
+          int64_t expect = -1;
+          fail.compare_exchange_strong(expect, i);
+          return;
+        }
+        total += static_cast<int64_t>(m->tokens[tid].size());
+      }
+      sizes[i] = total;
+    }
+  });
+  if (fail.load() >= 0) return -(fail.load() + 1);
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < n_seqs; ++i)
+    out_offsets[i + 1] = out_offsets[i] + sizes[i];
+  if (out_offsets[n_seqs] > cap) return -1000000000 - out_offsets[n_seqs];
+  parallel_for(n_seqs, num_threads, [&](int64_t b, int64_t e, int) {
+    for (int64_t i = b; i < e; ++i) {
+      uint8_t* dst = out_bytes + out_offsets[i];
+      for (int64_t k = offsets[i]; k < offsets[i + 1]; ++k) {
+        const auto& t = m->tokens[ids[k]];
+        std::memcpy(dst, t.data(), t.size());
+        dst += t.size();
+      }
+    }
+  });
+  return out_offsets[n_seqs];
+}
+
+// Idiom mining (reference: src/mine.rs:21-48): non-overlapping
+// leftmost matches of the mine regex across all samples, counted by
+// matched string. The pattern arrives as the anchored byte-DFA
+// (core/redfa.py tables; dead state 0); the scan takes the LONGEST
+// accepting run from each start (leftmost-longest — the regex crate's
+// find_iter is leftmost-FIRST, identical for the overlap-free PATTERNS
+// alternations; PARITY.md notes the edge). Empty matches are skipped.
+// Output format matches tg_substring_count.
+extern "C" int64_t tg_mine(
+    const uint8_t* data, const int64_t* offsets, int64_t n_samples,
+    const int32_t* dfa_next, const uint8_t* dfa_accept, int32_t num_states,
+    int32_t start_state, uint8_t* out_buf, int64_t cap, int num_threads) {
+  int nt = std::max(1, num_threads);
+  std::vector<CountMap> partials(nt);
+
+  parallel_for(n_samples, num_threads, [&](int64_t b, int64_t e, int tix) {
+    auto& freq = partials[tix];
+    for (int64_t i = b; i < e; ++i) {
+      const uint8_t* s = data + offsets[i];
+      int64_t n = offsets[i + 1] - offsets[i];
+      int64_t p = 0;
+      while (p < n) {
+        int32_t state = start_state;
+        int64_t best_end = -1;
+        for (int64_t q = p; q < n; ++q) {
+          state = dfa_next[state * 256 + s[q]];
+          if (state == 0) break;  // dead: no extension can match
+          if (dfa_accept[state]) best_end = q + 1;
+        }
+        if (best_end > p) {
+          freq.add(s + p, static_cast<uint32_t>(best_end - p), 1);
+          p = best_end;
+        } else {
+          ++p;
+        }
+      }
+    }
+  });
+
+  CountMap merged;
+  merged.swap_from_largest(partials);
+  for (auto& part : partials) {
+    for (const auto& e : part.slots)
+      if (e.len) merged.add(part.arena.data() + e.off, e.len, e.count);
+    part.slots.clear();
+    part.arena.clear();
+  }
+  return serialize_counts(merged, out_buf, cap);
+}
+
 // Extraction + document-frequency counting for a DEVICE-computed
 // candidate mask (ops/dfa_device.py): the TPU evaluates allow-DFA,
 // char-boundary, sample-extent, and insert-probability conditions as a

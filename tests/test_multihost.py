@@ -115,8 +115,10 @@ elif mode == "prune_sharded":
     VocabularyPruner.run_e_step = (
         lambda self, m, s: (sess_seen.append(self._session),
                             _orig_estep(self, m, s))[1])
-    m2 = pruner.prune(model, local)
-    VocabularyPruner.run_e_step = _orig_estep
+    try:
+        m2 = pruner.prune(model, local)
+    finally:
+        VocabularyPruner.run_e_step = _orig_estep
     assert sess_seen and sess_seen[0] is not None, \
         "device session not created"
     assert pruner._session is None, "session HBM not released after prune"
@@ -136,8 +138,10 @@ else:
     VocabularyPruner.run_e_step = (
         lambda self, m, s: (sess_seen.append(self._session),
                             _orig_estep(self, m, s))[1])
-    m2 = pruner.prune(model, samples)
-    VocabularyPruner.run_e_step = _orig_estep
+    try:
+        m2 = pruner.prune(model, samples)
+    finally:
+        VocabularyPruner.run_e_step = _orig_estep
     # The multi-process prune must run through the slot-cached device
     # session (round-2 verdict item 4), not a per-pass fallback; the
     # session's HBM caches are released when prune returns.

@@ -242,3 +242,14 @@ def test_device_feed_kernel_cached_across_calls():
     # Different max_len is a new kernel (static arg), same cache dict.
     dd.feed_counts_device(dfa, samples, 4, 1.0, seed=0)
     assert len(dd._MASK_FNS) == 2
+
+
+def test_w_matches_other_alphabetic_symbols():
+    """Rust-regex \\w includes \\p{Alphabetic} symbols like circled
+    letters (Other_Alphabetic); closed in round 4 with a static table
+    (reference: regex crate \\w = Alphabetic+M+Nd+Pc+Join_Control)."""
+    dfa = compile_dfa(r"\w+")
+    for ch in ("Ⓐ", "ⓐ", "\U0001F150"):  # Ⓐ ⓐ 🅐
+        assert dfa.fullmatch_bytes(ch.encode("utf-8")), hex(ord(ch))
+    # ⓪ CIRCLED DIGIT ZERO is not Alphabetic.
+    assert not dfa.fullmatch_bytes("⓪".encode("utf-8"))

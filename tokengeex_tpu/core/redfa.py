@@ -71,11 +71,24 @@ _ESCAPES = {
 
 # \d / \w are Unicode-aware in the Rust regex crate (\d = \p{Nd},
 # \w = [\p{Alphabetic}\p{M}\p{Nd}\p{Pc}\p{Join_Control}]). Derived
-# lazily from unicodedata categories: \w here is
-# L* + M* + Nd + Nl + Pc + ZWJ/ZWNJ, which tracks the reference's set
-# except for a handful of Other_Alphabetic symbols (e.g. circled
-# letters) — see PARITY.md. One full-codepoint scan, cached.
+# lazily from unicodedata categories (L* + M* + Nd + Nl + Pc + ZWJ/ZWNJ)
+# plus the static Other_Alphabetic table below — Alphabetic codepoints
+# Python's category data cannot identify. One full-codepoint scan,
+# cached.
 _CLASS_RANGE_CACHE: Dict[str, List[Tuple[int, int]]] = {}
+
+# Other_Alphabetic \ (L* ∪ M* ∪ Nl) as of Unicode 15.0 (the vintage of
+# both CPython 3.12's unicodedata and the reference's bundled regex
+# tables): symbol-category letters that ARE \p{Alphabetic}. Derived by
+# diffing the PyPI regex module's \p{Alphabetic} against the category
+# union, restricted to Unicode-15-assigned codepoints (closes the
+# round-3 PARITY.md "circled letters" deviation).
+_OTHER_ALPHABETIC = [
+    (0x24B6, 0x24E9),    # CIRCLED LATIN LETTER A..Z, a..z
+    (0x1F130, 0x1F149),  # SQUARED LATIN CAPITAL LETTER A..Z
+    (0x1F150, 0x1F169),  # NEGATIVE CIRCLED LATIN CAPITAL LETTER A..Z
+    (0x1F170, 0x1F189),  # NEGATIVE SQUARED LATIN CAPITAL LETTER A..Z
+]
 
 
 def _unicode_class_ranges(kind: str) -> List[Tuple[int, int]]:
@@ -91,6 +104,8 @@ def _unicode_class_ranges(kind: str) -> List[Tuple[int, int]]:
         cats = {"Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Mc", "Me", "Nd",
                 "Nl", "Pc"}
         extra = {0x200C, 0x200D}  # Join_Control
+        for lo, hi in _OTHER_ALPHABETIC:
+            extra.update(range(lo, hi + 1))
     ranges: List[Tuple[int, int]] = []
     start = None
     for cp in range(MAX_CP + 1):

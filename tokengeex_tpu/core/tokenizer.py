@@ -182,7 +182,29 @@ class Tokenizer:
 
     def decode_batch(self, idss: Sequence[Sequence[int]],
                      include_special_tokens: bool = False) -> List[str]:
-        return [self.decode(ids, include_special_tokens) for ids in idss]
+        """Threaded batch decode (reference: src/tokenizer.rs:178-187
+        runs rayon into_par_iter): sequences without special ids decode
+        through the C++ pool in one call; sequences containing special
+        ids (rare) take the per-sequence split path."""
+        nm = self.model.native()
+        if nm is None or not idss:
+            return [self.decode(ids, include_special_tokens)
+                    for ids in idss]
+        base = self.model.vocab_size()
+        out: List[Optional[str]] = [None] * len(idss)
+        plain_idx = [i for i, ids in enumerate(idss)
+                     if not any(t >= base or t < 0 for t in ids)]
+        if plain_idx:
+            raws = nm.decode_batch([idss[i] for i in plain_idx])
+            for i, raw in zip(plain_idx, raws):
+                decoded = raw.decode("utf-8", errors="replace")
+                for p in reversed(self.processors):
+                    decoded = p.postprocess(decoded)
+                out[i] = decoded
+        for i, ids in enumerate(idss):
+            if out[i] is None:
+                out[i] = self.decode(ids, include_special_tokens)
+        return out  # type: ignore[return-value]
 
     # -- Vocabulary lookups (reference: src/tokenizer.rs:189-259) ----------
 

@@ -161,7 +161,16 @@ def _packed_mask_fn(max_len: int, insert_probability: float, W8: int,
     return packed_mask
 
 
+# Module-level executable cache: one jit wrapper per (L, p, W8,
+# num_states) combination. Training runs see a handful of entries; a
+# long-lived SERVICE compiling many distinct allow-regexes should call
+# clear_mask_fns() between tenants (ADVICE r3).
 _MASK_FNS: dict = {}
+
+
+def clear_mask_fns() -> None:
+    """Drop the cached device mask executables (frees their HBM)."""
+    _MASK_FNS.clear()
 
 
 def _mask_groups(
@@ -184,7 +193,11 @@ def _mask_groups(
     ddfa = _device_dfa_for(dfa) if dfa is not None else None
     W = max((len(s) for s in samples), default=1)
     W8 = max(512, 1 << (max(W, 1) - 1).bit_length())
+    # Round DOWN to a power of two: the cross-call executable reuse of
+    # _packed_mask_fn keys on B, and a non-pow2 group_bytes would
+    # otherwise leak a non-bucketed B per caller (ADVICE r3).
     rows_per_group = max(1, group_bytes // W8)
+    rows_per_group = 1 << (rows_per_group.bit_length() - 1)
     B = min(rows_per_group,
             1 << max(0, (len(samples) - 1)).bit_length())
     fn = _packed_mask_fn(max_len, insert_probability, W8,

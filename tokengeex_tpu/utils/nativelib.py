@@ -120,6 +120,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
             c_u8p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.tg_decode_batch.restype = ctypes.c_int64
+        lib.tg_decode_batch.argtypes = [
+            ctypes.c_void_p, c_i32p, c_i64p, ctypes.c_int64,
+            c_u8p, ctypes.c_int64, c_i64p, ctypes.c_int,
+        ]
+        lib.tg_mine.restype = ctypes.c_int64
+        lib.tg_mine.argtypes = [
+            c_u8p, c_i64p, ctypes.c_int64,
+            c_i32p, c_u8p, ctypes.c_int32, ctypes.c_int32,
+            c_u8p, ctypes.c_int64, ctypes.c_int,
+        ]
         lib.tg_mask_count.restype = ctypes.c_int64
         lib.tg_mask_count.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64,
@@ -305,6 +316,36 @@ class NativeModel:
             raise NoPathError(n, n)
         return freqs
 
+    def decode_batch(self, idss: Sequence[Sequence[int]],
+                     num_threads: Optional[int] = None):
+        """Per-sequence concatenated token bytes (threaded; reference:
+        src/tokenizer.rs:178-187). Raises IndexError(seq index) on an
+        out-of-range id."""
+        n = len(idss)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        for i, ids in enumerate(idss):
+            offsets[i + 1] = offsets[i] + len(ids)
+        flat = np.empty(int(offsets[-1]), dtype=np.int32)
+        for i, ids in enumerate(idss):
+            flat[offsets[i] : offsets[i + 1]] = ids
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        cap = max(1, int(offsets[-1]) * 8)
+        while True:
+            buf = np.empty(cap, dtype=np.uint8)
+            r = self._lib.tg_decode_batch(
+                self._handle, _i32p(flat), _i64p(offsets), n,
+                _u8p(buf), cap, _i64p(out_off),
+                num_threads or default_threads(),
+            )
+            if r <= -1000000000:
+                cap = int(-1000000000 - r)
+                continue
+            if r < 0:
+                raise IndexError(int(-r - 1))
+            break
+        raw = buf[: int(r)].tobytes()
+        return [raw[out_off[i] : out_off[i + 1]] for i in range(n)]
+
     def count_pairs(self, samples: Sequence[bytes], cap: int = 1 << 20,
                     num_threads: Optional[int] = None):
         """[(a, b, freq)] sorted by freq desc (reference: src/merge.rs:53-84)."""
@@ -354,6 +395,24 @@ def substring_count(
         _u8p(data), _i64p(offsets), len(samples),
         _i32p(dfa_next), _u8p(dfa_accept), num_states, start_state,
         max_token_length, insert_probability, seed,
+        _u8p(buf), cap, num_threads or default_threads(),
+    ))
+
+
+def mine_counts(samples: Sequence[bytes], dfa,
+                num_threads: Optional[int] = None) -> dict:
+    """Threaded idiom mining: counts of non-overlapping leftmost-longest
+    DFA matches (reference: src/mine.rs:21-48 runs rayon find_iter).
+    Returns {bytes-as-str: count} like substring_count."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data, offsets = _concat(samples)
+    dfa_next = np.ascontiguousarray(dfa.next, dtype=np.int32)
+    dfa_accept = np.ascontiguousarray(dfa.accept, dtype=np.uint8)
+    return _drain_counts(lambda buf, cap: lib.tg_mine(
+        _u8p(data), _i64p(offsets), len(samples),
+        _i32p(dfa_next), _u8p(dfa_accept), dfa_next.shape[0], dfa.start,
         _u8p(buf), cap, num_threads or default_threads(),
     ))
 
