@@ -220,7 +220,11 @@ def test_session_segsum_single_device(setup):
     model, samples = setup
     sess = DeviceTrainSession(model, samples, max_snippet=256)
     e_mesh = sess.e_step(model, 0.0, 0)
-    assert not sess.seg_cache  # mesh path does not build seg structs
+    # Round 4: mesh sessions build PER-SHARD seg structures too
+    # (parallel/mesh.build_seg_struct_sharded) — the scatter-free count
+    # path is no longer single-device (round-3 VERDICT item 4).
+    assert sess.seg_cache, "mesh session did not build sharded seg"
+    assert np.asarray(next(iter(sess.seg_cache.values())).perm).ndim == 3
 
     single = DeviceTrainSession(model, samples, max_snippet=256)
     single.use_mesh = False
@@ -253,4 +257,7 @@ def test_session_dropout_matches_legacy(setup):
     e_sess = sess.e_step(model, 0.3, 5)
     e_leg = ed.run_e_step_device(model, samples, dropout=0.3,
                                  max_snippet=256, seed=5)
-    np.testing.assert_allclose(e_sess, e_leg, rtol=1e-6, atol=1e-6)
+    # Same coins, different summation ORDER: the session counts via the
+    # segsum path (per-slot interval sums) while the legacy stream
+    # scatter-adds — f32 totals agree to ~1e-4 relative, not bit-exact.
+    np.testing.assert_allclose(e_sess, e_leg, rtol=5e-4, atol=5e-4)

@@ -1792,25 +1792,36 @@ class SegStruct:
       n_hit:   (L,) int32 — number of real hits; sorted entries past it
                are misses whose gathered [alpha-Z, beta] rows are
                finite garbage and must weigh 0
+      prev_slot: (L, nbins) int32 — for each PRESENT slot, the present
+               slot immediately before it in sorted order (itself for
+               the first); static, drives the per-pass score expansion
+               over sorted hits (telescoping diffs, _sorted_scores)
+      blk_slot: (L, cap/SEG_BLK) int32 — slot of the sorted hit at each
+               SEG_BLK block start (nbins where the block is past the
+               hits); the expansion's per-block absolute anchors
     """
 
     perm: jax.Array
     pre_pos: jax.Array
     end_pos: jax.Array
     n_hit: jax.Array
+    prev_slot: jax.Array
+    blk_slot: jax.Array
 
     def nbytes(self) -> int:
-        return int(self.perm.size) * 4 + int(self.pre_pos.size) * 4 \
-            + int(self.end_pos.size) * 4
+        return 4 * (int(self.perm.size) + int(self.pre_pos.size)
+                    + int(self.end_pos.size) + int(self.prev_slot.size)
+                    + int(self.blk_slot.size))
 
     @staticmethod
     def est_bytes(B: int, L: int, W: int, nbins: int) -> int:
-        return L * (B * W * 4 + nbins * 8)
+        return L * (B * W * 4 + nbins * 12)
 
 
 jax.tree_util.register_pytree_node(
     SegStruct,
-    lambda s: ((s.perm, s.pre_pos, s.end_pos, s.n_hit), None),
+    lambda s: ((s.perm, s.pre_pos, s.end_pos, s.n_hit, s.prev_slot,
+                s.blk_slot), None),
     lambda _, c: SegStruct(*c),
 )
 
@@ -1819,6 +1830,17 @@ jax.tree_util.register_pytree_node(
 # error to ulp(128 * max element) — segment sums never accumulate
 # through other segments beyond one block's worth of neighbors.
 SEG_BLK = 128
+
+
+def _prev_present(present, nbins):
+    """(nbins,) int32: for each present slot, the present slot
+    immediately before it in slot order — itself for the first (its
+    telescoping diff is then exactly 0)."""
+    ar = jnp.arange(nbins, dtype=jnp.int32)
+    marked = jnp.where(present, ar, jnp.int32(-1))
+    cm = jax.lax.cummax(marked)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), cm[:-1]])
+    return jnp.where(prev >= 0, prev, ar)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -1834,7 +1856,11 @@ def _seg_sort_one(slots_flat, nbins):
     pre_pos = jnp.where(present & (ss[:-1] > 0), ss[:-1] - 1,
                         pad).astype(jnp.int32)
     end_pos = jnp.where(present, ss[1:] - 1, pad).astype(jnp.int32)
-    return perm.astype(jnp.int32), pre_pos, end_pos, ss[nbins].astype(jnp.int32)
+    blk_slot = jnp.minimum(sorted_slots[::SEG_BLK],
+                           jnp.int32(nbins)).astype(jnp.int32)
+    return (perm.astype(jnp.int32), pre_pos, end_pos,
+            ss[nbins].astype(jnp.int32), _prev_present(present, nbins),
+            blk_slot)
 
 
 def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
@@ -1849,17 +1875,22 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
     volume and the structure's HBM footprint by ~4-8x; the capacity is
     quantized so at most a couple of shapes ever compile."""
     B, L, W = slots.shape
-    perms, pres, ends, nhits = [], [], [], []
+    perms, pres, ends, nhits, prevs, blks = [], [], [], [], [], []
     for l0 in range(L):
-        p, b, e, n = _seg_sort_one(slots[:, l0, :].reshape(-1), nbins)
+        p, b, e, n, pv, bs = _seg_sort_one(slots[:, l0, :].reshape(-1),
+                                           nbins)
         perms.append(p)
         pres.append(b)
         ends.append(e)
         nhits.append(n)
+        prevs.append(pv)
+        blks.append(bs)
     perm = jnp.stack(perms)
     pre = jnp.stack(pres)
     end = jnp.stack(ends)
     n_hit = jnp.stack(nhits)
+    prev_slot = jnp.stack(prevs)
+    blk_slot = jnp.stack(blks)
 
     BW = B * W
     max_hit = int(jax.device_get(jnp.max(n_hit)))  # host sync, per build
@@ -1869,11 +1900,12 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
     cap = min(cap, BW)
     if cap < BW:
         perm = perm[:, :cap]
+        blk_slot = blk_slot[:, : cap // SEG_BLK]
         # pre/end index into the sorted order (always < n_hit <= cap
         # for present segments); the BW pad cell moves to index cap.
         pre = jnp.where(pre == BW, cap, pre).astype(jnp.int32)
         end = jnp.where(end == BW, cap, end).astype(jnp.int32)
-    return SegStruct(perm, pre, end, n_hit)
+    return SegStruct(perm, pre, end, n_hit, prev_slot, blk_slot)
 
 
 def _interval_sums(w: jax.Array, pre_pos: jax.Array,
@@ -1882,13 +1914,20 @@ def _interval_sums(w: jax.Array, pre_pos: jax.Array,
     of a (BW,) array, scatter-free and scan-free at full length:
 
       blocks of SEG_BLK -> in-block inclusive cumsums (one vector op)
-      + a compensated (TwoSum) exclusive prefix over the tiny block-
-      totals array. An interval sum is then three benign differences:
-      in-block edge pieces (error <= ulp of ONE block's total) plus a
-      correctly-rounded difference of compensated block prefixes —
-      no full-length scan graph (the 8M-element associative_scan this
-      replaces took the remote XLA compiler tens of minutes) and no
-      global-magnitude cancellation."""
+      + an exclusive prefix over the tiny block-totals array. An
+      interval sum is then three differences: in-block edge pieces plus
+      a difference of block prefixes — no full-length scan graph (the
+      8M-element associative_scan this replaced took the remote XLA
+      compiler tens of minutes) and no global-magnitude cancellation.
+
+    Conditioning contract: callers must feed w values of UNIFORM scale
+    (the segsum path feeds true marginals in [0, 1]): a SEG_BLK block
+    mixes NEIGHBORING slots' weights, so the in-block edge differences
+    are only accurate to ulp(block total) — with the token score
+    factored OUT of w (the round-1..3 formulation) a low-probability
+    slot sharing a block with an e^40-scale neighbor lost its entire
+    sum to rounding (round-4 bug: rescored vocabularies silently zeroed
+    rare tokens' expected counts)."""
     BW = w.shape[0]
     nblk = BW // SEG_BLK
     c = jnp.cumsum(w.reshape(nblk, SEG_BLK), axis=1)
@@ -1934,13 +1973,17 @@ def _segsum_expected_impl(
 
     Replaces backward_expected()'s scatter-add (the 0.145 G elem/s
     HBM wall, experiments/perf_probe5.py) for cached-slot sessions:
-    the marginal exp(A[p] + score + Bt[p+l] - Z[p]) factors as
-    exp(score[slot]) * exp(A[p] + Bt[p+l] - Z[p]), so per-slot sums
-    reduce with ONE row gather per probe point (hit rows of a dense
-    [A-Z, Bt'] table, 2.8x cheaper than word scatters) + a segmented
-    scan that resets at slot boundaries (each segment accumulates at
-    its own scale — no global-prefix cancellation), then one dense
-    exp(score) multiply per slot. Same (nbins,) contract as
+    per-slot sums reduce with ONE row gather per probe point (hit rows
+    of a dense [A-Z, Bt'] table, 2.8x cheaper than word scatters) +
+    blocked interval sums over the session's static sorted-hit order.
+    The summed weight is the TRUE marginal
+    exp(A[p] + score + Bt[p+l] - Z[p]) in [0, 1]: the score term is
+    expanded over sorted hits from the tiny (nbins,) score vector via
+    static telescoping diffs + per-block anchors (all O(nbins + H/128)
+    gathers). Factoring exp(score) OUT of the sum (the round-1..3
+    formulation) let a block's huge-|score| neighbors absorb a rare
+    token's entire sum in f32 — silently zeroed expected counts on
+    rescored vocabularies (round-4 fix). Same (nbins,) contract as
     backward_expected (reference: src/lattice.rs:245-312)."""
     B = A.shape[0]
     W = batch.width
@@ -1971,8 +2014,35 @@ def _segsum_expected_impl(
         ((np.arange(1, L + 1, dtype=np.int64) * 2654435761) % (1 << 32))
         .astype(np.uint32).view(np.int32))
 
+    # Scores clamped to a sane floor: removed/empty slots carry the
+    # -3e38 sentinel, which would wreck the telescoping cumsum below
+    # (their own weights become exp(x - 200) = 0 regardless).
+    sc = jnp.maximum(jax.lax.bitcast_convert_type(
+        slot_rows[:nbins, 0], jnp.float32).astype(dtype), -200.0)
+    sc_pad = jnp.concatenate([sc, jnp.zeros((1,), dtype)])
+    slot_ar = jnp.arange(nbins, dtype=jnp.int32)
+    nblk = H // SEG_BLK
+    # Static mask: a segment starting exactly at a block start is
+    # already covered by that block's anchor.
+    not_blk_start = (jnp.arange(H, dtype=jnp.int32) % SEG_BLK) != 0
+
+    def _sorted_scores(pre_l, end_l, prev_l, blk_l):
+        """(H,) score per sorted hit: per-block anchors (score of the
+        block-start hit's slot) + inclusive in-block cumsum of the
+        telescoping present-slot score diffs scattered at the static
+        segment starts."""
+        present = end_l != H
+        start_pos = jnp.where(
+            present, jnp.where(pre_l == H, 0, pre_l + 1), H)
+        dvals = sc - jnp.take(sc, prev_l)
+        d = jnp.zeros((H,), dtype).at[start_pos].add(dvals, mode="drop")
+        d = jnp.where(not_blk_start, d, 0.0)
+        anchors = jnp.take(sc_pad, blk_l)  # (nblk,)
+        return (anchors[:, None]
+                + jnp.cumsum(d.reshape(nblk, SEG_BLK), axis=1)).reshape(-1)
+
     def length_body(acc, xs):
-        l0, odd, perm_l, pre_l, end_l, n_hit_l = xs
+        l0, odd, perm_l, pre_l, end_l, n_hit_l, prev_l, blk_l = xs
         beta_l = jax.lax.dynamic_slice(btp, (jnp.int32(0), l0 + 1), (B, W))
         if use_drop:
             u = jax.lax.shift_right_logical(drop_base * odd, jnp.int32(1))
@@ -1980,7 +2050,8 @@ def _segsum_expected_impl(
             beta_l = jnp.where(keep, beta_l, jnp.array(NEG_INF, dtype))
         T = jnp.stack([col1, beta_l], axis=-1).reshape(BW, 2)
         rows = jnp.take(T, perm_l, axis=0)
-        w = jnp.exp(rows[:, 0] + rows[:, 1])
+        s_sorted = _sorted_scores(pre_l, end_l, prev_l, blk_l)
+        w = jnp.exp(rows[:, 0] + rows[:, 1] + s_sorted)
         # Zero the miss tail: its gathered rows are finite garbage and
         # the last real segment can share a SEG_BLK block with it.
         w = jnp.where(jnp.arange(H, dtype=jnp.int32) < n_hit_l, w, 0.0)
@@ -1989,10 +2060,10 @@ def _segsum_expected_impl(
     acc, _ = jax.lax.scan(
         length_body, jnp.zeros((nbins,), dtype),
         (jnp.arange(L, dtype=jnp.int32), odds,
-         seg.perm, seg.pre_pos, seg.end_pos, seg.n_hit))
-    scores = jax.lax.bitcast_convert_type(
-        slot_rows[:nbins, 0], jnp.float32).astype(dtype)
-    return acc * jnp.exp(scores)
+         seg.perm, seg.pre_pos, seg.end_pos, seg.n_hit,
+         seg.prev_slot, seg.blk_slot))
+    del slot_ar
+    return acc
 
 
 def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:

@@ -200,6 +200,170 @@ def sharded_match_cache(dt, mesh, width: int, chunk: int, dtype,
     return _FN_CACHE[ck]
 
 
+def build_seg_struct_sharded(slots, nbins: int, mesh):
+    """Per-shard scatter-free EM count structures for a row-sharded
+    (B, L, W) slot array (VERDICT r3 item 4: the segsum fast path was
+    single-device only). Each shard sorts ITS rows' (pos, len) -> slot
+    hits; the compaction capacity is agreed globally (one host sync)
+    so one compiled shape serves every group. Returns an
+    ops.lattice_jax.SegStruct whose arrays carry a leading shard axis
+    (n_shards, ...), row-sharded along the mesh — feed them to
+    sharded_e_step(with_seg=True) / sharded_estep_fused as per-call
+    args."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = _shard_map()
+
+    from ..ops import lattice_jax as lj
+
+    axis = mesh.axis_names[0]
+    n_sh = int(mesh.devices.size)
+    B, L, W = slots.shape
+    BW_loc = (B // n_sh) * W
+
+    ck = ("seg_count", _mesh_key(mesh), slots.shape, nbins)
+    if ck not in _FN_CACHE:
+        def count_local(sl):
+            # (B_loc, L, W) -> (1, L) hit counts
+            return jnp.sum((sl < nbins).reshape(sl.shape[0], L, W),
+                           axis=(0, 2), dtype=jnp.int32)[None, :]
+
+        _FN_CACHE[ck] = jax.jit(shard_map(
+            count_local, mesh=mesh, in_specs=(P(axis),),
+            out_specs=P(axis)))
+    n_hit_sh = _FN_CACHE[ck](slots)  # (n_sh, L)
+    max_hit = int(jax.device_get(jnp.max(n_hit_sh)))
+    cap = lj.SEG_BLK
+    while cap < max_hit:
+        cap *= 2
+    cap = min(cap, BW_loc)
+
+    bk = ("seg_build", _mesh_key(mesh), slots.shape, nbins, cap)
+    if bk not in _FN_CACHE:
+        def build_local(sl):
+            perms, pres, ends, nh, prevs, blks = [], [], [], [], [], []
+            for l0 in range(L):
+                flat = sl[:, l0, :].reshape(-1)
+                perm = jnp.argsort(flat).astype(jnp.int32)
+                srt = jnp.take(flat, perm)
+                ss = jnp.searchsorted(
+                    srt, jnp.arange(nbins + 1, dtype=srt.dtype))
+                present = ss[1:] > ss[:-1]
+                pre = jnp.where(present & (ss[:-1] > 0), ss[:-1] - 1,
+                                cap).astype(jnp.int32)
+                end = jnp.where(present, ss[1:] - 1, cap).astype(jnp.int32)
+                perms.append(perm[:cap])
+                pres.append(pre)
+                ends.append(end)
+                nh.append(ss[nbins].astype(jnp.int32))
+                prevs.append(lj._prev_present(present, nbins))
+                blks.append(jnp.minimum(
+                    srt[:cap][:: lj.SEG_BLK],
+                    jnp.int32(nbins)).astype(jnp.int32))
+            return (jnp.stack(perms)[None], jnp.stack(pres)[None],
+                    jnp.stack(ends)[None], jnp.stack(nh)[None],
+                    jnp.stack(prevs)[None], jnp.stack(blks)[None])
+
+        _FN_CACHE[bk] = jax.jit(shard_map(
+            build_local, mesh=mesh, in_specs=(P(axis),),
+            out_specs=(P(axis),) * 6))
+    perm, pre, end, n_hit, prev_slot, blk_slot = _FN_CACHE[bk](slots)
+    return lj.SegStruct(perm, pre, end, n_hit, prev_slot, blk_slot)
+
+
+def seg_call_args(seg):
+    """SegStruct -> the 6 per-call arrays of the seg-enabled factories."""
+    return (seg.perm, seg.pre_pos, seg.end_pos, seg.n_hit,
+            seg.prev_slot, seg.blk_slot)
+
+
+def sharded_e_step_seg(dt, mesh, width: int, chunk: int, dtype,
+                       dropout: float = 0.0, kernel: str = "xla",
+                       probe=None, fused: bool = False):
+    """Seg-enabled sharded EM pass: forward + backward BETAS + the
+    scatter-free segsum counts per shard, psum-reduced — the fast count
+    path pods were missing (single-chip measured ~10%/pass over the
+    fused scatter; BASELINE.md round 2).
+
+    fn(*lj.dt_call_args(...), batch arrays[, score, slots], perm, pre,
+    end, n_hit, slot_rows[, drop_u]) -> (A row-sharded, counts
+    replicated). With fused=True the vocabulary probe runs inside the
+    Pallas kernels (vscan tables) and the score/slots args are dropped
+    from the signature entirely.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = _shard_map()
+
+    from ..ops import lattice_jax as lj
+
+    axis = mesh.axis_names[0]
+    L = dt.max_len
+    mode = probe or lj._probe_mode(dt, dtype)
+    meta = lj.dt_static_meta(dt, dtype, probe)
+    ck = ("e_step_seg", _mesh_key(mesh), width, chunk, str(dtype),
+          float(dropout), kernel, mode, meta, fused)
+    if ck in _FN_CACHE:
+        return _FN_CACHE[ck]
+
+    def local_step(t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v,
+                   p1, p2, sid, is_start, is_end, end_index, rinv1, rinv2,
+                   *rest):
+        rest = list(rest)
+        tbl = lj._rebuild_dt(
+            (t1f, t2f, t1e, t2e, sc, tb, c1v, s1v, c2v, s2v), meta)
+        batch = lj.DeviceBatch(
+            p1=p1, p2=p2, sid=sid, is_start=is_start, is_end=is_end,
+            end_index=end_index, rinv1=rinv1, rinv2=rinv2,
+            width=width, pad=L,
+        )
+        score = slots = None
+        if not fused:
+            score, slots = rest.pop(0), rest.pop(0)
+        perm, pre, end, n_hit, prev_sl, blk_sl, slot_rows = (
+            rest.pop(0) for _ in range(7))
+        seg = lj.SegStruct(perm[0], pre[0], end[0], n_hit[0],
+                           prev_sl[0], blk_sl[0])
+        drop_u = rest.pop(0) if rest else None
+        if fused:
+            A = lj.forward(tbl, batch, C=chunk, dtype=dtype,
+                           drop_u=drop_u, dropout=dropout,
+                           backend="fused")
+            Bt = lj.backward_betas(tbl, batch, C=chunk, dtype=dtype,
+                                   drop_u=drop_u, dropout=dropout,
+                                   backend="fused")
+        else:
+            cache = (score, slots)
+            A = lj.forward(tbl, batch, C=chunk, dtype=dtype,
+                           drop_u=drop_u, dropout=dropout, backend=kernel,
+                           probe=mode, cache=cache)
+            Bt = lj.backward_betas(tbl, batch, C=chunk, dtype=dtype,
+                                   drop_u=drop_u, dropout=dropout,
+                                   probe=mode, cache=cache)
+        expected = lj.segsum_expected(tbl, batch, A, Bt, seg, slot_rows,
+                                      drop_u=drop_u, dropout=dropout,
+                                      dtype=dtype)
+        return A, jax.lax.psum(expected, axis)
+
+    in_specs = (P(),) * 10 + (P(axis),) * 6 + (P(), P())
+    if not fused:
+        in_specs = in_specs + (P(axis), P(axis))
+    in_specs = in_specs + (P(axis),) * 6 + (P(),)
+    if dropout > 0.0:
+        in_specs = in_specs + (P(axis),)
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis), P()),
+    )
+    _FN_CACHE[ck] = jax.jit(sharded)
+    return _FN_CACHE[ck]
+
+
 def sharded_viterbi(dt, mesh, width: int, chunk: int, dtype,
                     kernel: str = "xla", dropout: float = 0.0,
                     probe=None, chained: bool = False,

@@ -341,15 +341,20 @@ class DeviceTrainSession:
             self.cache_used += size
         return score, slots
 
-    def _fused(self) -> bool:
+    def _vscan_ok(self) -> bool:
         """Whether the in-VMEM fused-probe kernels apply to this
         session's binding (small vocabulary; see lattice_jax.has_vscan)."""
         import jax.numpy as jnp
 
-        return (self.kernel == "pallas" and not self.use_mesh
+        return (self.kernel == "pallas"
                 and self.dtype == jnp.float32
                 and self.probe in (None, "fast", "bucket", "em")
                 and lj.has_vscan(self.dt))
+
+    def _fused(self) -> bool:
+        """Single-device fused routing (mesh runs route through the
+        sharded seg/fused factories in e_step instead)."""
+        return self._vscan_ok() and not self.use_mesh
 
     def _fused_seg(self, gi: int, batch):
         """SegStruct for the fused E-step (probing the group once to
@@ -373,21 +378,18 @@ class DeviceTrainSession:
 
     def _seg_for(self, gi: int, slots):
         """SegStruct for a slot-cached group (built once, reused by
-        every E-step pass; slots are static across rebinds).
-
-        Single-device only: the scatter-free count path needs a
-        group-wide sort of (pos, len)->slot hits, and its build runs
-        argsorts + a host-synced size check that cannot live inside
-        shard_map; a per-shard variant would need the seg arrays
-        threaded through the sharded fns as per-call args with
-        shard-dependent shapes. Mesh runs keep backward_expected's
-        fused scatter inside the sharded program instead (measured at
-        ~10% slower per EM pass than segsum on one chip — BASELINE.md)."""
+        every E-step pass; slots are static across rebinds). Mesh runs
+        build PER-SHARD structures (parallel/mesh.py
+        build_seg_struct_sharded) threaded into the sharded fns as
+        per-call args, so pods get the scatter-free count path too
+        (round-3 VERDICT item 4)."""
         import jax.numpy as jnp
+
+        from ..parallel import mesh as pmesh
 
         if gi in self.seg_cache:
             return self.seg_cache[gi]
-        if (not self.use_segsum or self.use_mesh
+        if (not self.use_segsum
                 or self.dtype == jnp.float64
                 or gi not in self.slot_cache):
             return None
@@ -395,18 +397,22 @@ class DeviceTrainSession:
         nbins = lj.seg_nbins(self.dt, self.dtype)
         # Optimistic pre-check (compaction typically shrinks the hit
         # lists >= 4x); the ACTUAL size gates caching after the build.
-        est = lj.SegStruct.est_bytes(B, L, W, nbins) // 4
+        est = lj.SegStruct.est_bytes(B, L, W, nbins) // 4 // self.n_proc
         if self.cache_used + est > self.cache_budget:
             return None
-        seg = lj.build_seg_struct(slots, nbins)
-        if self.cache_used + seg.nbytes() > self.cache_budget:
+        if self.use_mesh:
+            seg = pmesh.build_seg_struct_sharded(
+                slots, nbins, self._fns.get("mesh") or self._mesh_fns()["mesh"])
+        else:
+            seg = lj.build_seg_struct(slots, nbins)
+        if self.cache_used + seg.nbytes() // self.n_proc > self.cache_budget:
             # Memoize the failure: rebuilding (L device argsorts + a
             # host sync) and re-discarding every pass would be pure
             # waste. seg_cache[gi] = None short-circuits future calls.
             self.seg_cache[gi] = None
             return None
         self.seg_cache[gi] = seg
-        self.cache_used += seg.nbytes()
+        self.cache_used += seg.nbytes() // self.n_proc
         return seg
 
     # -- Passes -------------------------------------------------------------
@@ -462,12 +468,35 @@ class DeviceTrainSession:
                 # drop_u inside the scans — a full-width masked copy
                 # would double the group's cache footprint.
                 score, slots = self._probe_group(gi, batch)
+                seg = self._seg_for(gi, slots) \
+                    if gi in self.slot_cache else None
                 fns = self._mesh_fns(dropout)
-                args = self._dt_call() + pmesh.batch_to_arrays(batch) \
-                    + (score, slots)
-                if dropout > 0.0:
-                    args = args + (drop_u,)
-                A, exp_g = fns["estep"](*args)
+                if seg is not None:
+                    # Scatter-free per-shard segsum counts (round-3
+                    # VERDICT item 4); in-kernel fused probe when the
+                    # table carries the vscan layout.
+                    fused = self._vscan_ok()
+                    # The factory memoizes compiled fns module-wide
+                    # (pmesh._FN_CACHE keys on mesh/shape/dropout/...).
+                    step_fn = pmesh.sharded_e_step_seg(
+                        self.dt, self._fns["mesh"], width=self.width,
+                        chunk=self.chunk, dtype=self.dtype,
+                        dropout=dropout, kernel=self.kernel,
+                        probe=self.probe, fused=fused)
+                    args = self._dt_call() + pmesh.batch_to_arrays(batch)
+                    if not fused:
+                        args = args + (score, slots)
+                    args = args + pmesh.seg_call_args(seg) \
+                        + (self.slot_rows,)
+                    if dropout > 0.0:
+                        args = args + (drop_u,)
+                    A, exp_g = step_fn(*args)
+                else:
+                    args = self._dt_call() + pmesh.batch_to_arrays(batch) \
+                        + (score, slots)
+                    if dropout > 0.0:
+                        args = args + (drop_u,)
+                    A, exp_g = fns["estep"](*args)
             elif self.dtype != jnp.float64 and self._fused() \
                     and (seg := self._fused_seg(gi, batch)) is not None:
                 # Fused-probe steady state: forward + backward betas
