@@ -261,3 +261,36 @@ def test_session_dropout_matches_legacy(setup):
     # segsum path (per-slot interval sums) while the legacy stream
     # scatter-adds — f32 totals agree to ~1e-4 relative, not bit-exact.
     np.testing.assert_allclose(e_sess, e_leg, rtol=5e-4, atol=5e-4)
+
+
+def test_session_device_freq_counts_single_device(setup, monkeypatch):
+    """Single-device sessions count Viterbi frequencies IN-GRAPH
+    (lj.viterbi_freq: on-path backpointer walk + exact-table id probe +
+    int scatter) — only the (V,) vector leaves the device. Long samples
+    are excluded from the device counts (_countable_ends) and re-added
+    via the exact chained encode; totals must equal the native
+    reference exactly."""
+    import jax
+
+    from tokengeex_tpu.ops import lattice_jax as lj
+
+    model, samples = setup
+    rng = random.Random(9)
+    extra = "".join(rng.choice("abcdef ()") for _ in range(1500)).encode()
+    all_samples = list(samples) + [extra]
+
+    dev0 = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: dev0)
+    calls = {"n": 0}
+    orig = lj.viterbi_freq
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(lj, "viterbi_freq", spy)
+    sess = DeviceTrainSession(model, all_samples, max_snippet=512)
+    freqs = sess.count_frequencies(model)
+    assert calls["n"] > 0, "device frequency counting not engaged"
+    want = model.native().count_frequencies(all_samples)
+    np.testing.assert_array_equal(freqs, want)

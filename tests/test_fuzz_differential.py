@@ -163,3 +163,96 @@ def test_fuzz_dropout_distribution_device_vs_oracle():
     assert tv < 0.12, (tv, counts_o, counts_d)
     # Both must actually sample more than one segmentation at p=0.4.
     assert len(counts_o) > 1 and len(counts_d) > 1
+
+
+@pytest.mark.parametrize("seed,dropout", [(3, 0.0), (11, 0.3), (21, 0.0),
+                                          (31, 0.3)])
+def test_fuzz_fused_vs_xla_f32(seed, dropout):
+    """Round-4 fused-probe kernels vs the XLA gather path on random
+    binary vocabularies with exact ties and non-UTF-8 samples: the two
+    f32 paths share hash family, probe semantics and dropout coins, so
+    dp values (1e-6) and backpointers (exact) must agree — including
+    under dropout."""
+    from tokengeex_tpu.ops import lattice_jax as lj
+    from tokengeex_tpu.ops.match_table import TokenTable
+    from tokengeex_tpu.utils.packing import pack_samples
+    import numpy as np
+
+    vocab, samples = _fuzz_case(seed)
+    samples = [s[:200] for s in samples]
+    model = Model(vocab)
+    dt = lj.DeviceTables.from_table(TokenTable.build(model.vocab),
+                                    dtype=jnp.float32)
+    assert lj.has_vscan(dt)
+    packed = pack_samples(samples, width=256, max_snippet=256,
+                          row_multiple=128)
+    batch = lj.prepare_batch(packed, dt.max_len)
+    drop_u = None
+    if dropout > 0.0:
+        drop_u = jax.random.randint(
+            jax.random.PRNGKey(seed), (batch.p1.shape[0],
+                                       batch.sid.shape[1]),
+            minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32)
+    dp_x, bl_x = lj.viterbi(dt, batch, C=128, drop_u=drop_u,
+                            dropout=dropout, backend="xla",
+                            dtype=jnp.float32)
+    dp_f, bl_f = lj.viterbi(dt, batch, C=128, drop_u=drop_u,
+                            dropout=dropout, backend="fused",
+                            dtype=jnp.float32)
+    dp_x, dp_f = np.asarray(dp_x), np.asarray(dp_f)
+    fin = np.isfinite(dp_x)
+    assert (fin == np.isfinite(dp_f)).all()
+    np.testing.assert_allclose(dp_x[fin], dp_f[fin], rtol=1e-6, atol=1e-6)
+    assert (np.asarray(bl_x)[fin] == np.asarray(bl_f)[fin]).all()
+
+
+@pytest.mark.parametrize("seed", range(40, 46))
+def test_fuzz_special_token_splitter(seed):
+    """Random special tokens (including overlapping/nested substrings)
+    against a naive reference scan of the first-special-wins semantics
+    (reference: src/tokenizer.rs:299-347), plus an encode/decode
+    roundtrip through the full Tokenizer pipeline."""
+    from tokengeex_tpu import Tokenizer, make_vocab
+    from tokengeex_tpu.core.splitter import split_special_tokens
+
+    rng = random.Random(seed)
+    alphabet = "abcx<|>#"
+    specials = []
+    while len(specials) < rng.randint(1, 5):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        if s and s not in specials:
+            specials.append(s)
+    text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+
+    def naive(text, specials):
+        out = []
+        buf = ""
+        i = 0
+        while i < len(text):
+            best = None  # first special (by list order) matching at i
+            for sp in specials:
+                if text.startswith(sp, i):
+                    best = sp
+                    break
+            if best is None:
+                buf += text[i]
+                i += 1
+            else:
+                if buf:
+                    out.append((buf, False))
+                    buf = ""
+                out.append((best, True))
+                i += len(best)
+        if buf:
+            out.append((buf, False))
+        return out
+
+    got = [x for x in split_special_tokens(text, specials) if x[0] != ""]
+    want = naive(text, specials)
+    assert got == want, (text, specials)
+
+    vocab = [ScoredToken(bytes([b]), math.log(1 / 256)) for b in range(256)]
+    tok = Tokenizer(Model(vocab), [], specials)
+    ids = tok.encode(text)
+    assert tok.decode(ids, include_special_tokens=True) == text
+    assert tok.decode_batch([ids], include_special_tokens=True)[0] == text

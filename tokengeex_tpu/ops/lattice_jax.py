@@ -1289,10 +1289,10 @@ def _rebuild_batch(arrs, width: int, pad: int) -> DeviceBatch:
 
 @functools.partial(jax.jit, static_argnames=(
     "meta", "width", "pad", "op", "C", "unroll", "dtype", "backend",
-    "probe", "dropout"))
+    "probe", "dropout", "vpad"))
 def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
                slot_rows, *, meta, width, pad, op, C, unroll, dtype,
-               backend, probe, dropout):
+               backend, probe, dropout, vpad=0):
     tbl = _rebuild_dt(dt_arrs, meta)
     batch = _rebuild_batch(batch_arrs, width, pad)
     if drop_u is not None and drop_u.ndim == 1 and dropout > 0.0:
@@ -1357,6 +1357,9 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
                                           drop_u, dropout, backend, probe,
                                           cch)
         return A, exp
+    if op == "viterbi_freq":
+        return _viterbi_freq_impl(tbl, batch, A, Bt, cache, C, unroll,
+                                  vpad)
     if op == "viterbi_cached":
         slots = cache
         score = score_from_slots(slot_rows, slots, dtype, C)
@@ -1403,7 +1406,7 @@ def dt_static_meta(tbl: DeviceTables, dtype=jnp.float32, probe=None):
 def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
               drop_u=None, dropout=0.0, backend="xla", probe=None,
               cache=None, carry=None, A=None, Bt=None, seg=None,
-              slot_rows=None):
+              slot_rows=None, vpad=0):
     # Resolve the probe mode HERE and pass it explicitly: dt_call_args
     # swaps the scores array (and a missing bucket table) for stable
     # placeholders in non-exact modes, and dt_static_meta blanks
@@ -1415,7 +1418,7 @@ def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
         drop_u, carry, A, Bt, seg, slot_rows,
         meta=dt_static_meta(tbl, dtype, mode), width=batch.width,
         pad=batch.pad, op=op, C=C, unroll=unroll, dtype=dtype,
-        backend=backend, probe=mode, dropout=float(dropout))
+        backend=backend, probe=mode, dropout=float(dropout), vpad=vpad)
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
@@ -2085,6 +2088,143 @@ def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:
     valid = mapping >= 0
     np.add.at(expected, mapping[valid], acc[valid])
     return expected
+
+
+# ---------------------------------------------------------------------------
+# Device-side Viterbi frequency counts
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_freq_impl(
+    tbl: DeviceTables,
+    batch: DeviceBatch,
+    dp: jax.Array,       # (B, W) from viterbi()
+    best_l: jax.Array,   # (B, W)
+    ends_countable: jax.Array,  # (B, W+1) bool: ends of spans to count
+                                # (whole non-empty spans ONLY — the
+                                # caller builds it from its span list)
+    C: int = 512,
+    unroll: int = 16,
+    vpad: int = 0,       # static padded id space (>= vocab size, pinned
+                         # per session so prune rounds never recompile)
+) -> jax.Array:
+    """Per-token Viterbi occurrence counts computed ON DEVICE
+    (reference: src/prune.rs:205-246 counts with rayon + host memory).
+
+    The round-1..3 path fetched the full (B, W) backpointer matrix to
+    the host per group and backtracked in C++ — ~1 byte per corpus
+    byte over the host link, the dominant cost of the frequency pass at
+    >= 1 GB through a slow relay. Here the backtrack happens in-graph:
+
+      1. a descending chunked scan walks the backpointer chains of
+         every countable sample end simultaneously (carry: the next
+         on-path boundary per row), marking token-end positions;
+      2. on-path positions resolve their token ID with the exact
+         96-bit-check probe against the (t1_exact, t2_exact) tables —
+         TWO row gathers per corpus position (not per (pos, len));
+      3. an int32 scatter-add bins the ids; only the (V,) count vector
+         ever leaves the device (psum-able on a mesh).
+
+    Unreachable ends (NoPath) contribute garbage chains; callers MUST
+    check span-end dp finiteness (pick_span_values_device) and discard
+    the whole pass on failure, exactly like the host path.
+    """
+    B = dp.shape[0]
+    W = batch.width
+    V = vpad or tbl.vocab_size
+    assert W % C == 0
+    nchunks = W // C
+    ends = ends_countable[:, 1 : W + 1]  # end at dp index p = q+1
+    starts = batch.is_start[:, 1 : W + 1]
+
+    def chunk_body(carry, chunk_idx_rev):
+        nxt, counts = carry
+        chunk_idx = (nchunks - 1) - chunk_idx_rev
+        cs = chunk_idx * C
+        bl = jax.lax.dynamic_slice(best_l, (0, cs), (B, C))
+        en = jax.lax.dynamic_slice(ends, (0, cs), (B, C))
+        st = jax.lax.dynamic_slice(starts, (0, cs), (B, C))
+
+        def step(nxt_c, xs):
+            bl_q, en_q, st_q, q_abs = xs  # (B,) each, scalar dp index
+            # A chain arriving at its sample's START is complete: a
+            # contiguous previous sample's last token must not be
+            # consumed by this walk (the packing places samples
+            # back-to-back within a row).
+            nxt_c = jnp.where((nxt_c == q_abs) & st_q,
+                              jnp.int32(-1), nxt_c)
+            nxt_c = jnp.where(en_q, q_abs, nxt_c)
+            on = nxt_c == q_abs
+            l = jnp.where(on, bl_q.astype(jnp.int32), jnp.int32(0))
+            nxt_c = (jnp.where(on, q_abs - l, nxt_c)).astype(jnp.int32)
+            return nxt_c, (on, l)
+
+        qs = (cs + 1 + jnp.arange(C)).astype(jnp.int32)
+        nxt, outs = jax.lax.scan(
+            step, nxt,
+            (jnp.moveaxis(bl, 1, 0)[::-1], jnp.moveaxis(en, 1, 0)[::-1],
+             jnp.moveaxis(st, 1, 0)[::-1], qs[::-1]),
+            unroll=min(unroll, C))
+        on_rev, l_rev = outs  # (C, B) positions descending
+        on = jnp.moveaxis(on_rev[::-1], 0, 1)  # (B, C)
+        l = jnp.moveaxis(l_rev[::-1], 0, 1)
+
+        # Token ends at dp index p = cs+q+1, spans [p-l, p): resolve its
+        # id with the exact probe (fp over the span, 96-bit check).
+        pos_end = (batch.pad + cs + 1
+                   + jnp.arange(C)).astype(jnp.int32)[None, :]
+        pe1 = jax.lax.dynamic_slice(batch.p1, (0, batch.pad + cs + 1),
+                                    (B, C))
+        pe2 = jax.lax.dynamic_slice(batch.p2, (0, batch.pad + cs + 1),
+                                    (B, C))
+        start = pos_end - l  # (B, C) padded index of token start
+        ps1 = jnp.take_along_axis(batch.p1, start, axis=1)
+        ps2 = jnp.take_along_axis(batch.p2, start, axis=1)
+        rv1 = jnp.take(batch.rinv1, start.reshape(-1)).reshape(B, C)
+        rv2 = jnp.take(batch.rinv2, start.reshape(-1)).reshape(B, C)
+        fp1 = (pe1 - ps1) * rv1
+        fp2 = (pe2 - ps2) * rv2
+        a1 = (l * np.int32(np.uint32(H.IDX_A1).view(np.int32)))
+        a2 = (l * np.int32(np.uint32(H.IDX_A2).view(np.int32)))
+        m1 = jnp.int32(np.uint32(H.IDX_M1).view(np.int32))
+        m2 = jnp.int32(np.uint32(H.IDX_M2).view(np.int32))
+        shift = jnp.int32(32 - tbl.bits)
+        idx1 = jax.lax.shift_right_logical((fp1 ^ a1) * m1, shift)
+        idx2 = jax.lax.shift_right_logical((fp2 ^ a2) * m2, shift)
+        e1 = jnp.take(tbl.t1_exact, idx1, axis=0)
+        e2 = jnp.take(tbl.t2_exact, idx2, axis=0)
+        lm = l.astype(jnp.int32)
+        m1ok = (e1[..., 0] == fp1) & (e1[..., 1] == fp2) & (
+            jax.lax.shift_right_logical(e1[..., 2], jnp.int32(24)) == lm)
+        m2ok = (e2[..., 0] == fp1) & (e2[..., 1] == fp2) & (
+            jax.lax.shift_right_logical(e2[..., 2], jnp.int32(24)) == lm)
+        ids = jnp.where(m1ok, e1[..., 2] & 0xFFFFFF,
+                        jnp.where(m2ok, e2[..., 2] & 0xFFFFFF, V))
+        ids = jnp.where(on & (l > 0), ids, V)
+        # Spread the off-path majority over a scratch region: one hot
+        # trash address would serialize the scatter's read-modify-write
+        # (same trick as backward_expected).
+        flat = ids.reshape(-1)
+        spread = jnp.arange(flat.shape[0], dtype=jnp.int32) & 4095
+        flat = jnp.where(flat >= V, V + spread, flat)
+        counts = counts.at[flat].add(1, mode="drop")
+        return (nxt, counts), None
+
+    nxt0 = jnp.full((B,), jnp.int32(-1))
+    counts0 = jnp.zeros((V + 4096,), jnp.int32)
+    (nxt, counts), _ = jax.lax.scan(chunk_body, (nxt0, counts0),
+                                    jnp.arange(nchunks))
+    return counts[:V]
+
+
+def viterbi_freq(tbl, batch, dp, best_l, ends_countable, vpad, C=512,
+                 unroll=16, dtype=jnp.float32):
+    """Jitted entry for _viterbi_freq_impl (see _op_worker). `vpad` is
+    the session-pinned padded id space (static; pass the INITIAL vocab
+    size so shrinking rounds reuse one executable)."""
+    return _dispatch("viterbi_freq", tbl, batch, C=C, unroll=unroll,
+                     dtype=dtype, A=dp, Bt=best_l, seg=None,
+                     cache=ends_countable, vpad=vpad)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,10 @@ class DeviceTrainSession:
             cache_budget = int(os.environ.get(
                 "TGX_SLOT_CACHE_BYTES", 8 << 30))
         self.cache_budget = cache_budget
+        # Device frequency counts: padded id space pinned to the
+        # session's INITIAL vocabulary so shrinking prune rounds reuse
+        # one compiled executable (lj.viterbi_freq).
+        self._vpad = -(-max(1, self.base_tbl.vocab_size) // 4096) * 4096
         self.cache_used = 0
         self.slot_cache: Dict[int, object] = {}
         # Scatter-free EM count structures (ops.lattice_jax.SegStruct),
@@ -271,7 +275,15 @@ class DeviceTrainSession:
             rows_idx = np.asarray([r for (r, _, _, _, _) in spans])
             ends_idx = np.asarray([e for (_, _, e, _, _) in spans])
             whole = [sp for sp in spans if sp[3] not in self._long_set]
+            countable = [sp for sp in spans
+                         if sp[3] not in self._long_set and sp[2] > sp[1]]
             self._span_idx[gi] = {
+                "count_ends": (
+                    np.asarray([r for (r, _, _, _, _) in countable],
+                               dtype=np.int32),
+                    np.asarray([e for (_, _, e, _, _) in countable],
+                               dtype=np.int32),
+                ),
                 "spans": spans,
                 "z": (rows_idx, ends_idx),
                 "nbytes": sum(e - s for (_, s, e, _, _) in spans),
@@ -282,6 +294,34 @@ class DeviceTrainSession:
                     [max(e - 1, 0) for (_, _, e, _, _) in whole]),
             }
         return self._span_idx[gi]
+
+    def _countable_ends(self, gi: int, batch, info):
+        """(B, W+1) bool with True ONLY at the ends of this group's
+        whole non-empty spans: long samples re-encode via the exact
+        chained path (add_long), empty spans contribute nothing, and
+        padding rows never open a backpointer walk."""
+        import jax.numpy as jnp
+
+        r, e = info["count_ends"]
+        n = len(r)
+        B, Wp1 = batch.is_end.shape
+        zeros = jnp.zeros((B, Wp1), bool)
+        if n == 0:
+            return zeros
+        # Pow2-padded scatter indices so the group-varying span count
+        # never re-keys the jit; pads target (0, 0), whose dp index is
+        # never visited by the descending walk (it starts at q = 1).
+        m = 1024
+        while m < n:
+            m *= 2
+        ri = np.zeros(m, np.int32)
+        ei = np.zeros(m, np.int32)
+        vals = np.zeros(m, bool)
+        ri[:n] = r
+        ei[:n] = e
+        vals[:n] = True
+        return zeros.at[jnp.asarray(ri), jnp.asarray(ei)].max(
+            jnp.asarray(vals))
 
     def _batch_for(self, gi: int, sub):
         if gi in self.input_cache:
@@ -619,6 +659,10 @@ class DeviceTrainSession:
                             len({si for (_, _, _, si, _) in spans_whole}))
 
         pending = None
+        device_counts = self.dtype != jnp.float64 and not self.use_mesh \
+            and os.environ.get("TGX_DEVICE_FREQ", "1") != "0"
+        count_acc = None
+        nopath_checks = []  # (dp_ends device array, spans)
         for gi, sub in self._groups():
             batch = self._batch_for(gi, sub)
             if self.use_mesh:
@@ -643,6 +687,28 @@ class DeviceTrainSession:
                                         cache=(score, slots))
             info = self._span_arrays(gi, sub)
             spans_whole = info["whole"]
+            if device_counts:
+                # In-graph backtrack + id probe + int scatter: only the
+                # (V,) count vector leaves the device (the host-fetch
+                # of best_l was ~1 B/corpus byte per pass, the wall of
+                # this pass at >= 1 GB through the relay).
+                ends_cnt = self._countable_ends(gi, batch, info)
+                cnt_g = lj.viterbi_freq(self.dt, batch, dp, best_l,
+                                        ends_cnt, vpad=self._vpad,
+                                        C=self.chunk, dtype=self.dtype)
+                count_acc = cnt_g if count_acc is None \
+                    else count_acc + cnt_g
+                if spans_whole:
+                    nopath_checks.append((lj.pick_span_values_device(
+                        dp, info["whole_rows"], info["whole_ends"]),
+                        spans_whole))
+                if gi % 2 == 1:
+                    import jax as _jax
+
+                    _jax.device_get(count_acc[:1])
+                if task is not None:
+                    task.record(info["nbytes"], info["nsamples"])
+                continue
             if self.n_proc > 1:
                 # Backtrack only this process's row block (the spans in
                 # `info` are block-local; see _span_arrays).
@@ -675,6 +741,18 @@ class DeviceTrainSession:
             pending = nxt
         if pending is not None:
             drain(pending)
+        if count_acc is not None:
+            # NoPath check BEFORE trusting the device counts: an
+            # unreachable sample end walks a garbage backpointer chain
+            # (reference raises, src/model.rs:119).
+            for dp_ends, spans in nopath_checks:
+                vals = np.asarray(dp_ends)[: len(spans)]
+                bad = ~np.isfinite(vals)
+                if bad.any():
+                    k = int(np.nonzero(bad)[0][0])
+                    n = spans[k][2] - spans[k][1]
+                    raise NoPathError(n, n)
+            freqs[:] += np.asarray(count_acc)[:V].astype(np.int64)
 
         def add_long(indices, force_local: bool):
             # Same dtype/kernel and the session's rebound table: the
