@@ -294,3 +294,37 @@ def test_session_device_freq_counts_single_device(setup, monkeypatch):
     assert calls["n"] > 0, "device frequency counting not engaged"
     want = model.native().count_frequencies(all_samples)
     np.testing.assert_array_equal(freqs, want)
+
+
+def test_session_long_snippet_f32_accuracy(setup):
+    """f32 EM over LONG samples: at the reference's 81920-byte snippet
+    the f32 DP drift inflated total expected counts ~3x (round-4 bug on
+    real corpora); the device path now sub-chops f32 EM at
+    TGX_DEVICE_SNIPPET (1 KiB). This corpus is ADVERSARIAL: barely any
+    vocab words match, so segmentations cost ~9.5 nats/byte and the
+    drift bound sits at ~2% (drift ~ eps*(c*n)*sqrt(n/3)); trained
+    vocabularies (c ~ 2-4) stay well under 1%. Bounds absorb drift +
+    the window-boundary semantics delta vs the reference's 81920."""
+    from tokengeex_tpu.train import estep_device as ed
+
+    model, _ = setup
+    rng = random.Random(31)
+    words = ["ab", "cd", "ef", "def", "face(", "bead", "cafe", " "]
+    long_samples = []
+    for _ in range(3):
+        parts = []
+        size = 0
+        while size < 40_000:
+            w = words[rng.randrange(len(words))]
+            parts.append(w)
+            size += len(w)
+        long_samples.append("".join(parts).encode()[:40_000])
+
+    sess = DeviceTrainSession(model, long_samples, max_snippet=81920)
+    assert sess.max_snippet == ed.DEVICE_EM_SNIPPET
+    e = sess.e_step(model, 0.0, 0)
+    want, _z = model.native().estep(long_samples, max_snippet=81920)
+    assert abs(e.sum() - want.sum()) / want.sum() < 0.04, (
+        e.sum(), want.sum())
+    big = want > 50
+    np.testing.assert_allclose(e[big], want[big], rtol=0.12)

@@ -259,3 +259,24 @@ def test_device_encode_long_sample_dropout(setup):
     got2 = ed.encode_corpus_device(model, [long1], dropout=0.5, seed=13,
                                    max_width=512)
     assert got == got2
+
+
+def test_interval_sums_compensated_difference():
+    """A tiny segment deep inside a large-prefix array must not lose
+    its sum to f32 rounding of the block-prefix difference (round-4
+    regression: +-5 count noise aborted the 1.1 GB M-step)."""
+    import jax.numpy as jnp
+
+    from tokengeex_tpu.ops import lattice_jax as lj
+
+    N = 1 << 20
+    w = np.ones(N, np.float32)
+    # Three 1e-3 weights at a block-aligned segment ~3/4 in.
+    s0 = (3 * N // 4) + 256
+    w[s0 : s0 + 3] = 1e-3
+    pre = np.array([s0 - 1, N], np.int32)  # second slot absent (pad)
+    end = np.array([s0 + 2, N], np.int32)
+    out = np.asarray(lj._interval_sums(
+        jnp.asarray(w), jnp.asarray(pre), jnp.asarray(end), jnp.float32))
+    np.testing.assert_allclose(out[0], 3e-3, rtol=1e-3)
+    assert out[1] == 0.0

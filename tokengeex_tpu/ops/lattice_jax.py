@@ -1954,11 +1954,22 @@ def _interval_sums(w: jax.Array, pre_pos: jax.Array,
 
     be = end_pos // SEG_BLK
     bb = pre_pos // SEG_BLK
-    return (
-        (jnp.take(hip, be) - jnp.take(hip, bb))
-        + (jnp.take(lop, be) - jnp.take(lop, bb))
-        + (jnp.take(cf, end_pos) - jnp.take(cf, pre_pos))
-    )
+    # The block-prefix difference must be COMPENSATED (TwoSum of
+    # hip[be] + (-hip[bb])): a plain f32 difference rounds at ulp of
+    # the global prefix (~0.5 at 10 MB-group count totals), which
+    # summed over lengths x groups put +-5 of noise on small tokens'
+    # expected counts — enough to go NEGATIVE and abort the M-step
+    # (observed at the 1.1 GB recipe, round 4).
+    a = jnp.take(hip, be)
+    b = -jnp.take(hip, bb)
+    s = a + b
+    a1 = s - b
+    b1 = s - a1
+    err = (a - a1) + (b - b1)
+    small = (err
+             + (jnp.take(lop, be) - jnp.take(lop, bb))
+             + (jnp.take(cf, end_pos) - jnp.take(cf, pre_pos)))
+    return s + small
 
 
 def _segsum_expected_impl(

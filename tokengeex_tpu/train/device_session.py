@@ -57,8 +57,10 @@ class DeviceTrainSession:
         from . import estep_device as ed
 
         self.samples = samples
-        self.max_snippet = max_snippet
         self.dtype = dtype or jnp.float32
+        # f32 EM snippet cap (see estep_device.DEVICE_EM_SNIPPET):
+        # 81920-byte snippets are numerically unsound in f32.
+        self.max_snippet = ed._em_snippet_cap(max_snippet, self.dtype)
         self.kernel = kernel or ed._default_backend()
         self.probe = probe
         self.chunk = ed.CHUNK
@@ -71,11 +73,11 @@ class DeviceTrainSession:
             # The pack width is a compile-shape: agree on the max
             # across the disjoint per-process shards.
             self.width = pmesh.allgather_max(
-                ed._pick_width(samples, max_snippet))
+                ed._pick_width(samples, self.max_snippet))
         else:
-            self.width = ed._pick_width(samples, max_snippet)
+            self.width = ed._pick_width(samples, self.max_snippet)
         self.packed = pack_samples(samples, width=self.width,
-                                   max_snippet=max_snippet)
+                                   max_snippet=self.max_snippet)
         self.n_dev = len(jax.devices())
         self.use_mesh = self.n_dev > 1
         self.sharding = None

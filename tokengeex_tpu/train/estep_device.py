@@ -36,6 +36,24 @@ GROUP_BYTES = int(os.environ.get("TGX_GROUP_BYTES", 1 << 22))
 # carried dp tail instead of inflating the pack width (see
 # _encode_chained; reference: src/model.rs:59-129 encodes unchunked).
 MAX_ENCODE_WIDTH = 1 << 15
+# f32 EM snippet cap. The reference chops E-step samples at 81920 bytes
+# (src/prune.rs:75) with F64 lattices; in f32 the forward/backward
+# log-probs reach ~90k nats at that length and the rounding drift of
+# alpha/beta/Z random-walks to ~+-0.8 nats — marginals scale by
+# e^(noise), measured 3x total counts on a real 40 MB corpus slice
+# (round 4). Drift_std ~ eps_f32 * (c*n) * sqrt(n/3) for per-byte cost
+# c (nats): 1024 bounds it to ~1% even at c ~ 10 (an untrained
+# byte-fallback-heavy vocabulary); the f64 conformance paths keep the
+# reference's 81920 semantics. PARITY.md "known deviations".
+DEVICE_EM_SNIPPET = int(os.environ.get("TGX_DEVICE_SNIPPET", 1024))
+
+
+def _em_snippet_cap(max_snippet, dtype) -> int:
+    import jax.numpy as jnp
+
+    if dtype == jnp.float64 or max_snippet is None:
+        return max_snippet
+    return min(max_snippet, DEVICE_EM_SNIPPET)
 
 
 def _pick_width(samples: Sequence[bytes], max_snippet: Optional[int]) -> int:
@@ -141,6 +159,7 @@ def run_e_step_device(
     tbl = TokenTable.build(model.vocab, min_bits=hb, min_len=hl)
     dt = lj.DeviceTables.from_table(tbl, dtype=dtype)
     L = dt.max_len
+    max_snippet = _em_snippet_cap(max_snippet, dtype)
     width = _pick_width(samples, max_snippet)
     packed = pack_samples(samples, width=width, max_snippet=max_snippet)
 

@@ -276,11 +276,21 @@ class VocabularyPruner:
         scores = digamma_np(freqs) - logsum
 
         if not np.isfinite(scores).all():
+            # A single non-finite expected count poisons logsum and
+            # every score; report the actual offender, not merely the
+            # first alive index.
+            bad_exp = np.nonzero(~np.isfinite(expected))[0]
+            if bad_exp.size:
+                i = int(bad_exp[0])
+                raise ValueError(
+                    f"M-step: non-finite expected count for token "
+                    f"{vocab[i].value!r}: {expected[i]}")
             bad = int(np.nonzero(~np.isfinite(scores))[0][0])
             tok = [t for t, a in zip(vocab, alive) if a][bad]
+            i = int(np.nonzero(alive)[0][bad])
             raise ValueError(
-                f"M-step: invalid frequency for token {tok.value!r}: {tok.score}"
-            )
+                f"M-step: invalid frequency for token {tok.value!r}: "
+                f"expected={expected[i]} score={scores[bad]}")
 
         out = []
         idx = 0
