@@ -276,8 +276,12 @@ def test_session_device_freq_counts_single_device(setup, monkeypatch):
 
     model, samples = setup
     rng = random.Random(9)
-    extra = "".join(rng.choice("abcdef ()") for _ in range(1500)).encode()
-    all_samples = list(samples) + [extra]
+    # 5 KB: above the f32 EM snippet cap but whole in the FREQ packing
+    # (counted in-graph); 40 KB: beyond MAX_ENCODE_WIDTH's whole-sample
+    # packing, exercising the exact chained fallback.
+    mid = "".join(rng.choice("abcdef ()") for _ in range(5000)).encode()
+    extra = "".join(rng.choice("abcdef ()") for _ in range(40_000)).encode()
+    all_samples = list(samples) + [mid, extra]
 
     dev0 = jax.devices()[:1]
     monkeypatch.setattr(jax, "devices", lambda *a, **k: dev0)

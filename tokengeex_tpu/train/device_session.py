@@ -92,7 +92,7 @@ class DeviceTrainSession:
             # 40% of groups re-probing each pass); transient per-group
             # buffers stay under ~1.5 GB on top.
             cache_budget = int(os.environ.get(
-                "TGX_SLOT_CACHE_BYTES", 8 << 30))
+                "TGX_SLOT_CACHE_BYTES", 6 << 30))
         self.cache_budget = cache_budget
         # Device frequency counts: padded id space pinned to the
         # session's INITIAL vocabulary so shrinking prune rounds reuse
@@ -108,7 +108,7 @@ class DeviceTrainSession:
         # host->device corpus transfer happens once per session.
         self.input_cache: Dict[int, tuple] = {}
         self.input_budget = int(os.environ.get(
-            "TGX_INPUT_CACHE_BYTES", 2 << 30))
+            "TGX_INPUT_CACHE_BYTES", 4 << 30))
         self.input_used = 0
         self._model: Optional[Model] = None
         self._estep_calls = 0
@@ -251,7 +251,7 @@ class DeviceTrainSession:
         n = nrows_global // self.n_proc
         return self.proc * n, n
 
-    def _span_arrays(self, gi: int, sub):
+    def _span_arrays(self, gi: int, sub, cache=None, long_set=None):
         """Cached per-group span bookkeeping: z-check indices, byte and
         sample tallies, and the short-sample ("whole") subset used by
         the frequency pass — all O(spans) Python work that would
@@ -261,12 +261,16 @@ class DeviceTrainSession:
         indices relative to its local block (the device results are
         only fetched shard-locally; under local_shard every span is
         local by construction)."""
-        if gi not in self._span_idx:
-            if not hasattr(self, "_long_set"):
-                # Once per session, NOT per group: a full corpus scan
-                # per group is O(groups x samples).
-                self._long_set = {si for si, s in enumerate(self.samples)
-                                  if len(s) > self.max_snippet}
+        if not hasattr(self, "_long_set"):
+            # Once per session, NOT per group: a full corpus scan
+            # per group is O(groups x samples).
+            self._long_set = {si for si, s in enumerate(self.samples)
+                              if len(s) > self.max_snippet}
+        if cache is None:
+            cache = self._span_idx
+        if long_set is None:
+            long_set = self._long_set
+        if gi not in cache:
             if self.n_proc > 1 and not self.local_shard:
                 lo, n = self._local_row_range(sub.rows)
                 spans = [(r - lo, s, e, si, ci)
@@ -276,10 +280,10 @@ class DeviceTrainSession:
                 spans = sub.spans
             rows_idx = np.asarray([r for (r, _, _, _, _) in spans])
             ends_idx = np.asarray([e for (_, _, e, _, _) in spans])
-            whole = [sp for sp in spans if sp[3] not in self._long_set]
+            whole = [sp for sp in spans if sp[3] not in long_set]
             countable = [sp for sp in spans
-                         if sp[3] not in self._long_set and sp[2] > sp[1]]
-            self._span_idx[gi] = {
+                         if sp[3] not in long_set and sp[2] > sp[1]]
+            cache[gi] = {
                 "count_ends": (
                     np.asarray([r for (r, _, _, _, _) in countable],
                                dtype=np.int32),
@@ -295,7 +299,65 @@ class DeviceTrainSession:
                 "whole_ends": np.asarray(
                     [max(e - 1, 0) for (_, _, e, _, _) in whole]),
             }
-        return self._span_idx[gi]
+        return cache[gi]
+
+    def _freq_groups(self):
+        """Row groups for the DEVICE frequency pass, packed at the
+        ENCODE width (MAX_ENCODE_WIDTH) rather than the f32 EM snippet
+        cap: Viterbi is max-plus (near-tie flips only, no marginal
+        drift), so whole samples up to 32 KiB count in-graph and only
+        genuinely long ones take the chained re-encode — with the EM
+        packing the "long" set was most of a real corpus and the
+        chained batch OOMed (round 4)."""
+        from . import estep_device as ed
+
+        if getattr(self, "_freq_group_list", None) is None:
+            longest = max((len(s) for s in self.samples), default=1)
+            if longest <= self.max_snippet:
+                # EM packing already holds every sample whole.
+                self._freq_group_list = self._groups()
+                self._freq_cap = self.max_snippet
+                self._freq_span_idx = self._span_idx
+                self._freq_long = self._long_set if hasattr(
+                    self, "_long_set") else set()
+                self._freq_shared = True
+                return self._freq_group_list
+            cap = ed.MAX_ENCODE_WIDTH
+            width = ed._pick_width(self.samples, cap)
+            packed = pack_samples(self.samples, width=width,
+                                  max_snippet=cap)
+            self._freq_group_list = list(ed._padded_groups(
+                packed, width,
+                self.row_mult if self.kernel == "pallas" else 1))
+            self._freq_cap = cap
+            self._freq_span_idx = {}
+            self._freq_long = {si for si, s in enumerate(self.samples)
+                               if len(s) > cap}
+            self._freq_shared = False
+        return self._freq_group_list
+
+    def _freq_info(self, gi: int, sub):
+        if getattr(self, "_freq_shared", False):
+            return self._span_arrays(gi, sub)
+        return self._span_arrays(gi, sub, cache=self._freq_span_idx,
+                                 long_set=self._freq_long)
+
+    def _freq_batch(self, gi: int, sub):
+        """Like _batch_for but under distinct input-cache keys (the
+        freq packing differs from the EM packing)."""
+        if getattr(self, "_freq_shared", False):
+            return self._batch_for(gi, sub)
+        key = ("freq", gi)
+        if key in self.input_cache:
+            gbytes, gflags = self.input_cache[key]
+        else:
+            gbytes, gflags = lj.prepare_batch_inputs(sub)
+            size = (int(np.prod(gbytes.shape))
+                    + int(np.prod(gflags.shape)))
+            if self.input_used + size <= self.input_budget:
+                self.input_cache[key] = (gbytes, gflags)
+                self.input_used += size
+        return lj.prepare_batch_from_inputs(gbytes, gflags, self.L)
 
     def _countable_ends(self, gi: int, batch, info):
         """(B, W+1) bool with True ONLY at the ends of this group's
@@ -665,8 +727,18 @@ class DeviceTrainSession:
             and os.environ.get("TGX_DEVICE_FREQ", "1") != "0"
         count_acc = None
         nopath_checks = []  # (dp_ends device array, spans)
-        for gi, sub in self._groups():
-            batch = self._batch_for(gi, sub)
+        if device_counts:
+            # Freq groups are packed at the ENCODE width (samples up to
+            # 32 KiB count whole in-graph; see _freq_groups).
+            groups = self._freq_groups()
+            long_idx = [si for si, smp in enumerate(self.samples)
+                        if len(smp) > self._freq_cap]
+            long_set = set(long_idx)
+        else:
+            groups = self._groups()
+        for gi, sub in groups:
+            batch = self._freq_batch(gi, sub) if device_counts \
+                else self._batch_for(gi, sub)
             if self.use_mesh:
                 score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns()
@@ -687,7 +759,8 @@ class DeviceTrainSession:
                                         dtype=self.dtype,
                                         backend=self.kernel,
                                         cache=(score, slots))
-            info = self._span_arrays(gi, sub)
+            info = self._freq_info(gi, sub) if device_counts \
+                else self._span_arrays(gi, sub)
             spans_whole = info["whole"]
             if device_counts:
                 # In-graph backtrack + id probe + int scatter: only the

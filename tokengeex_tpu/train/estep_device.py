@@ -523,6 +523,19 @@ def _encode_chained(
         n_dev = 1
     use_mesh = n_dev > 1
     row_mult = n_dev * 128 if kernel == "pallas" else n_dev
+    # Bound the row batch: every chained row costs ~13 B/byte of HBM
+    # transients (hash streams + match scores); an UNBOUNDED batch of
+    # long samples OOMed the 1.1 GB recipe's frequency pass (round 4).
+    max_rows = max(row_mult, ((4 * GROUP_BYTES) // W // row_mult)
+                   * row_mult)
+    if R > max_rows:
+        out_parts: List[Optional[List[int]]] = []
+        for g0 in range(0, R, max_rows):
+            out_parts.extend(_encode_chained(
+                model, dt, long_samples[g0 : g0 + max_rows], width,
+                kernel=kernel, dropout=dropout, seed=seed + g0,
+                probe=probe, dtype=dtype, task=task))
+        return out_parts
     Rp = -(-R // row_mult) * row_mult
 
     nchunks = max(-(-len(s) // W) for _, s in long_samples)
