@@ -1934,7 +1934,14 @@ def _interval_sums(w: jax.Array, pre_pos: jax.Array,
     BW = w.shape[0]
     nblk = BW // SEG_BLK
     c = jnp.cumsum(w.reshape(nblk, SEG_BLK), axis=1)
-    t = c[:, -1]
+    return _interval_from_blocks(c.reshape(-1), c[:, -1], pre_pos,
+                                 end_pos, dtype)
+
+
+def _interval_from_blocks(cf_flat, t, pre_pos, end_pos, dtype):
+    """Per-interval sums from in-block inclusive cumsums `cf_flat`
+    (BW,) and block totals `t` (nblk,) — the shared tail of
+    _interval_sums and the Pallas seg_weights path."""
 
     def comb(x, y):
         hx, lx = x
@@ -1950,7 +1957,7 @@ def _interval_sums(w: jax.Array, pre_pos: jax.Array,
     # reads 0.
     hip = jnp.concatenate([zero, hi_inc[:-1], zero])
     lop = jnp.concatenate([zero, lo_inc[:-1], zero])
-    cf = jnp.concatenate([c.reshape(-1), zero])
+    cf = jnp.concatenate([cf_flat, zero])
 
     be = end_pos // SEG_BLK
     bb = pre_pos // SEG_BLK
@@ -2055,6 +2062,17 @@ def _segsum_expected_impl(
         return (anchors[:, None]
                 + jnp.cumsum(d.reshape(nblk, SEG_BLK), axis=1)).reshape(-1)
 
+    # The exp + miss-mask + in-block cumsums (score expansion included)
+    # run as ONE Pallas kernel on TPU (lattice_pallas_fused.seg_weights)
+    # — as XLA ops they cost ~6 full passes over the hit arrays per
+    # length. R = seg-blocks per grid step.
+    use_kernel = _os.environ.get("TGX_SEG_KERNEL", "1") != "0" \
+        and dtype == jnp.float32
+    nblk_l = H // SEG_BLK
+    R_tile = min(64, nblk_l)
+    ntiles = -(-nblk_l // R_tile)
+    H_pad = ntiles * R_tile * SEG_BLK  # zero-padded tile grid
+
     def length_body(acc, xs):
         l0, odd, perm_l, pre_l, end_l, n_hit_l, prev_l, blk_l = xs
         beta_l = jax.lax.dynamic_slice(btp, (jnp.int32(0), l0 + 1), (B, W))
@@ -2064,6 +2082,34 @@ def _segsum_expected_impl(
             beta_l = jnp.where(keep, beta_l, jnp.array(NEG_INF, dtype))
         T = jnp.stack([col1, beta_l], axis=-1).reshape(BW, 2)
         rows = jnp.take(T, perm_l, axis=0)
+        if use_kernel:
+            from . import lattice_pallas_fused as lpf
+
+            present = end_l != H
+            start_pos = jnp.where(
+                present, jnp.where(pre_l == H, 0, pre_l + 1), H)
+            dvals = sc - jnp.take(sc, prev_l)
+            d = jnp.zeros((H,), dtype).at[start_pos].add(dvals,
+                                                         mode="drop")
+            anchors = jnp.take(sc_pad, blk_l)  # (nblk,)
+            d2 = jnp.concatenate(
+                [anchors[:, None], d.reshape(nblk_l, SEG_BLK)[:, 1:]],
+                axis=1).reshape(-1)
+            padn = H_pad - H
+            r0 = jnp.pad(rows[:, 0], (0, padn))
+            r1 = jnp.pad(rows[:, 1], (0, padn))
+            d2 = jnp.pad(d2, (0, padn))
+            cf3, t3 = lpf.seg_weights(
+                r0.reshape(ntiles, R_tile, 128),
+                r1.reshape(ntiles, R_tile, 128),
+                d2.reshape(ntiles, R_tile, 128), n_hit_l,
+                interpret=_pallas_interpret())
+            # Remap the pad sentinel H -> H_pad: the prefix/cf arrays'
+            # dedicated zero entries sit past the PADDED grid.
+            pre2 = jnp.where(pre_l == H, H_pad, pre_l)
+            end2 = jnp.where(end_l == H, H_pad, end_l)
+            return acc + _interval_from_blocks(
+                cf3.reshape(-1), t3.reshape(-1), pre2, end2, dtype), None
         s_sorted = _sorted_scores(pre_l, end_l, prev_l, blk_l)
         w = jnp.exp(rows[:, 0] + rows[:, 1] + s_sorted)
         # Zero the miss tail: its gathered rows are finite garbage and

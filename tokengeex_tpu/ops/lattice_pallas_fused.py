@@ -490,3 +490,70 @@ def fused_backward_chunk(tabs, ps1, ps2, rv1, rv2, phf01, phf02,
     )(c1, s1, c2, s2, ps1, ps2, rv1, rv2, phf01, phf02,
       inb, stb, ends, du, hist0, fr0, sn0)
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Segsum interval kernel: exp + miss-mask + in-block lane cumsums
+# ---------------------------------------------------------------------------
+
+SEG_TILE = 64  # seg-blocks (sublane rows) per grid step
+
+
+def _lane_cumsum(x):
+    """Inclusive prefix sum along lanes of a (R, 128) tile: log-steps of
+    circular roll + lane-masked add (the wrap-around lanes are masked)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        x = x + jnp.where(lanes >= k, pltpu.roll(x, k, axis=1), 0.0)
+    return x
+
+
+def _seg_weights_kernel(r0_ref, r1_ref, d2_ref, nh_ref, cf_ref, t_ref):
+    """One grid step = R seg-blocks (rows of 128 sorted hits).
+
+    ss = in-block cumsum of the score-diff stream (anchors embedded at
+    lane 0 by the caller), w = exp(r0 + r1 + ss) masked past n_hit,
+    cf = in-block cumsum of w, t = per-block totals.
+    """
+    i = pl.program_id(0)
+    R = d2_ref.shape[1]
+    ss = _lane_cumsum(d2_ref[0])
+    w = jnp.exp(r0_ref[0] + r1_ref[0] + ss)
+    base = i * (R * 128)
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) \
+        * 128 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    w = jnp.where(idx < nh_ref[0], w, 0.0)
+    cf = _lane_cumsum(w)
+    cf_ref[0] = cf
+    t_ref[0] = cf[:, 127:128]
+
+
+def seg_weights(r0, r1, d2, n_hit, interpret=False):
+    """r0/r1: (ntiles, SEG_TILE, 128) gathered [alpha-Z] / [beta] planes
+    in sorted-hit order; d2: score-diff stream with per-block anchors at
+    lane 0; n_hit: () int32. Returns cf (ntiles, SEG_TILE, 128)
+    in-block inclusive cumsums of the true marginals and t
+    (ntiles, SEG_TILE, 1) block totals."""
+    ntiles, R = d2.shape[0], d2.shape[1]
+    nh = jnp.reshape(n_hit.astype(jnp.int32), (1,))
+    tile = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _seg_weights_kernel,
+        grid=(ntiles,),
+        in_specs=[
+            tile, tile, tile,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            tile,
+            pl.BlockSpec((1, R, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles, R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, R, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(r0, r1, d2, nh)
+    return tuple(out)
