@@ -194,9 +194,11 @@ def test_segsum_matches_scatter_backward(dropout):
     # The hit lists are compacted to a power-of-two capacity: tail
     # misses must not survive truncation.
     B, L, W = slots.shape
-    assert seg.perm.shape[1] <= B * W
-    assert seg.perm.shape[1] % 128 == 0
-    assert int(np.max(np.asarray(seg.n_hit))) <= seg.perm.shape[1]
+    nh = np.asarray(seg.n_hit)
+    for l0, perm_l in enumerate(seg.perm):
+        assert perm_l.shape[0] <= B * W
+        assert perm_l.shape[0] % 128 == 0
+        assert int(nh[l0]) <= perm_l.shape[0]
     got = lj.segsum_expected(
         dt, batch, A, Bt, seg, lj.slot_score_rows(dt),
         drop_u=drop_u, dropout=dropout, dtype=jnp.float32)

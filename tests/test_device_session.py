@@ -224,7 +224,11 @@ def test_session_segsum_single_device(setup):
     # (parallel/mesh.build_seg_struct_sharded) — the scatter-free count
     # path is no longer single-device (round-3 VERDICT item 4).
     assert sess.seg_cache, "mesh session did not build sharded seg"
-    assert np.asarray(next(iter(sess.seg_cache.values())).perm).ndim == 3
+    # perm planes are per-length tuples; sharded planes carry a leading
+    # shard axis.
+    seg0 = next(iter(sess.seg_cache.values()))
+    assert isinstance(seg0.perm, tuple)
+    assert np.asarray(seg0.perm[0]).ndim == 2
 
     single = DeviceTrainSession(model, samples, max_snippet=256)
     single.use_mesh = False

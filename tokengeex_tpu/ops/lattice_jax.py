@@ -1785,36 +1785,41 @@ class SegStruct:
     while the vocabulary only shrinks (TokenTable.rebind). Per length
     row l0 (token length l0+1):
 
-      perm:    (L, B*W) int32 — flat positions sorted by slot (misses,
-               slot == nbins, sort to the tail and are never read)
+      perm:    L-tuple of (cap_l,) int32 — flat positions sorted by
+               slot, truncated to a PER-LENGTH pow2 capacity >= that
+               length's hit count (a shared capacity made every sparse
+               length pay the densest length's gathers — 92M vs 28M
+               real hits on the 8 MB bench; round 4). Misses (slot ==
+               nbins) sort to the tail and are never read.
       pre_pos: (L, nbins) int32 — sorted index JUST BEFORE the slot's
-               segment (its prefix subtracts out), or B*W (a zero pad
+               segment (its prefix subtracts out), or cap_l (a zero pad
                cell) when the segment starts at 0 or the slot is absent
       end_pos: (L, nbins) int32 — index of the segment's LAST element,
-               or B*W for slots absent at this length
+               or cap_l for slots absent at this length
       n_hit:   (L,) int32 — number of real hits; sorted entries past it
                are misses whose gathered [alpha-Z, beta] rows are
                finite garbage and must weigh 0
       prev_slot: (L, nbins) int32 — for each PRESENT slot, the present
                slot immediately before it in sorted order (itself for
                the first); static, drives the per-pass score expansion
-               over sorted hits (telescoping diffs, _sorted_scores)
-      blk_slot: (L, cap/SEG_BLK) int32 — slot of the sorted hit at each
-               SEG_BLK block start (nbins where the block is past the
-               hits); the expansion's per-block absolute anchors
+               over sorted hits (telescoping diffs)
+      blk_slot: L-tuple of (cap_l/SEG_BLK,) int32 — slot of the sorted
+               hit at each SEG_BLK block start (nbins where the block
+               is past the hits); the expansion's per-block anchors
     """
 
-    perm: jax.Array
+    perm: tuple
     pre_pos: jax.Array
     end_pos: jax.Array
     n_hit: jax.Array
     prev_slot: jax.Array
-    blk_slot: jax.Array
+    blk_slot: tuple
 
     def nbytes(self) -> int:
-        return 4 * (int(self.perm.size) + int(self.pre_pos.size)
+        return 4 * (sum(int(p.size) for p in self.perm)
+                    + int(self.pre_pos.size)
                     + int(self.end_pos.size) + int(self.prev_slot.size)
-                    + int(self.blk_slot.size))
+                    + sum(int(b.size) for b in self.blk_slot))
 
     @staticmethod
     def est_bytes(B: int, L: int, W: int, nbins: int) -> int:
@@ -1827,6 +1832,15 @@ jax.tree_util.register_pytree_node(
                 s.blk_slot), None),
     lambda _, c: SegStruct(*c),
 )
+
+def seg_cap(n_hit: int) -> int:
+    """Pow2-quantized per-length hit capacity (compile-shape control:
+    at most log2 variants per length across groups/sessions)."""
+    cap = SEG_BLK
+    while cap < n_hit:
+        cap *= 2
+    return cap
+
 
 # Block length of the segsum interval decomposition. 128 divides every
 # B*W (width is a multiple of 128) and bounds the f32 in-block prefix
@@ -1878,6 +1892,7 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
     volume and the structure's HBM footprint by ~4-8x; the capacity is
     quantized so at most a couple of shapes ever compile."""
     B, L, W = slots.shape
+    BW = B * W
     perms, pres, ends, nhits, prevs, blks = [], [], [], [], [], []
     for l0 in range(L):
         p, b, e, n, pv, bs = _seg_sort_one(slots[:, l0, :].reshape(-1),
@@ -1888,27 +1903,22 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
         nhits.append(n)
         prevs.append(pv)
         blks.append(bs)
-    perm = jnp.stack(perms)
-    pre = jnp.stack(pres)
-    end = jnp.stack(ends)
-    n_hit = jnp.stack(nhits)
-    prev_slot = jnp.stack(prevs)
-    blk_slot = jnp.stack(blks)
-
-    BW = B * W
-    max_hit = int(jax.device_get(jnp.max(n_hit)))  # host sync, per build
-    cap = SEG_BLK
-    while cap < max_hit:
-        cap *= 2
-    cap = min(cap, BW)
-    if cap < BW:
-        perm = perm[:, :cap]
-        blk_slot = blk_slot[:, : cap // SEG_BLK]
+    n_hit_host = [int(x) for x in
+                  jax.device_get(jnp.stack(nhits))]  # host sync, per build
+    caps = [min(seg_cap(h), BW) for h in n_hit_host]
+    perm_t, blk_t, pres2, ends2 = [], [], [], []
+    for l0 in range(L):
+        cap = caps[l0]
+        perm_t.append(perms[l0][:cap])
+        blk_t.append(blks[l0][: cap // SEG_BLK])
         # pre/end index into the sorted order (always < n_hit <= cap
-        # for present segments); the BW pad cell moves to index cap.
-        pre = jnp.where(pre == BW, cap, pre).astype(jnp.int32)
-        end = jnp.where(end == BW, cap, end).astype(jnp.int32)
-    return SegStruct(perm, pre, end, n_hit, prev_slot, blk_slot)
+        # for present segments); the BW pad cell moves to index cap_l.
+        pres2.append(jnp.where(pres[l0] == BW, cap,
+                               pres[l0]).astype(jnp.int32))
+        ends2.append(jnp.where(ends[l0] == BW, cap,
+                               ends[l0]).astype(jnp.int32))
+    return SegStruct(tuple(perm_t), jnp.stack(pres2), jnp.stack(ends2),
+                     jnp.stack(nhits), jnp.stack(prevs), tuple(blk_t))
 
 
 def _interval_sums(w: jax.Array, pre_pos: jax.Array,
@@ -2011,7 +2021,6 @@ def _segsum_expected_impl(
     L = tbl.max_len
     nbins = seg_nbins(tbl, dtype)
     BW = B * W
-    H = seg.perm.shape[1]  # compact hit capacity (<= BW)
 
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
     Z = jnp.where(jnp.isfinite(Z) & (Z > -1e37), Z, 0.0).astype(dtype)
@@ -2041,88 +2050,75 @@ def _segsum_expected_impl(
     sc = jnp.maximum(jax.lax.bitcast_convert_type(
         slot_rows[:nbins, 0], jnp.float32).astype(dtype), -200.0)
     sc_pad = jnp.concatenate([sc, jnp.zeros((1,), dtype)])
-    slot_ar = jnp.arange(nbins, dtype=jnp.int32)
-    nblk = H // SEG_BLK
-    # Static mask: a segment starting exactly at a block start is
-    # already covered by that block's anchor.
-    not_blk_start = (jnp.arange(H, dtype=jnp.int32) % SEG_BLK) != 0
-
-    def _sorted_scores(pre_l, end_l, prev_l, blk_l):
-        """(H,) score per sorted hit: per-block anchors (score of the
-        block-start hit's slot) + inclusive in-block cumsum of the
-        telescoping present-slot score diffs scattered at the static
-        segment starts."""
-        present = end_l != H
-        start_pos = jnp.where(
-            present, jnp.where(pre_l == H, 0, pre_l + 1), H)
-        dvals = sc - jnp.take(sc, prev_l)
-        d = jnp.zeros((H,), dtype).at[start_pos].add(dvals, mode="drop")
-        d = jnp.where(not_blk_start, d, 0.0)
-        anchors = jnp.take(sc_pad, blk_l)  # (nblk,)
-        return (anchors[:, None]
-                + jnp.cumsum(d.reshape(nblk, SEG_BLK), axis=1)).reshape(-1)
 
     # The exp + miss-mask + in-block cumsums (score expansion included)
     # run as ONE Pallas kernel on TPU (lattice_pallas_fused.seg_weights)
     # — as XLA ops they cost ~6 full passes over the hit arrays per
-    # length. R = seg-blocks per grid step.
+    # length. Lengths unroll as a Python loop: capacities are
+    # PER-LENGTH (pow2-quantized), so sparse lengths gather only their
+    # own pow2(n_hit) rows instead of the densest length's capacity.
     use_kernel = _os.environ.get("TGX_SEG_KERNEL", "1") != "0" \
         and dtype == jnp.float32
-    nblk_l = H // SEG_BLK
-    R_tile = min(64, nblk_l)
-    ntiles = -(-nblk_l // R_tile)
-    H_pad = ntiles * R_tile * SEG_BLK  # zero-padded tile grid
 
-    def length_body(acc, xs):
-        l0, odd, perm_l, pre_l, end_l, n_hit_l, prev_l, blk_l = xs
-        beta_l = jax.lax.dynamic_slice(btp, (jnp.int32(0), l0 + 1), (B, W))
+    acc = jnp.zeros((nbins,), dtype)
+    for l0 in range(L):
+        perm_l = seg.perm[l0]
+        blk_l = seg.blk_slot[l0]
+        pre_l = seg.pre_pos[l0]
+        end_l = seg.end_pos[l0]
+        n_hit_l = seg.n_hit[l0]
+        H = perm_l.shape[0]  # this length's compact capacity
+        nblk_l = H // SEG_BLK
+        beta_l = btp[:, l0 + 1 : l0 + 1 + W]
         if use_drop:
-            u = jax.lax.shift_right_logical(drop_base * odd, jnp.int32(1))
+            u = jax.lax.shift_right_logical(drop_base * odds[l0],
+                                            jnp.int32(1))
             keep = ~((u < tt) & (l0 > 0))
             beta_l = jnp.where(keep, beta_l, jnp.array(NEG_INF, dtype))
         T = jnp.stack([col1, beta_l], axis=-1).reshape(BW, 2)
         rows = jnp.take(T, perm_l, axis=0)
+
+        present = end_l != H
+        start_pos = jnp.where(
+            present, jnp.where(pre_l == H, 0, pre_l + 1), H)
+        dvals = sc - jnp.take(sc, prev_slot_l := seg.prev_slot[l0])
+        del prev_slot_l
+        d = jnp.zeros((H,), dtype).at[start_pos].add(dvals, mode="drop")
+        anchors = jnp.take(sc_pad, blk_l)  # (nblk_l,)
+        d2 = jnp.concatenate(
+            [anchors[:, None], d.reshape(nblk_l, SEG_BLK)[:, 1:]],
+            axis=1).reshape(-1)
+
         if use_kernel:
             from . import lattice_pallas_fused as lpf
 
-            present = end_l != H
-            start_pos = jnp.where(
-                present, jnp.where(pre_l == H, 0, pre_l + 1), H)
-            dvals = sc - jnp.take(sc, prev_l)
-            d = jnp.zeros((H,), dtype).at[start_pos].add(dvals,
-                                                         mode="drop")
-            anchors = jnp.take(sc_pad, blk_l)  # (nblk,)
-            d2 = jnp.concatenate(
-                [anchors[:, None], d.reshape(nblk_l, SEG_BLK)[:, 1:]],
-                axis=1).reshape(-1)
+            R_tile = min(64, nblk_l)
+            ntiles = -(-nblk_l // R_tile)
+            H_pad = ntiles * R_tile * SEG_BLK
             padn = H_pad - H
             r0 = jnp.pad(rows[:, 0], (0, padn))
             r1 = jnp.pad(rows[:, 1], (0, padn))
-            d2 = jnp.pad(d2, (0, padn))
+            d2p = jnp.pad(d2, (0, padn))
             cf3, t3 = lpf.seg_weights(
                 r0.reshape(ntiles, R_tile, 128),
                 r1.reshape(ntiles, R_tile, 128),
-                d2.reshape(ntiles, R_tile, 128), n_hit_l,
+                d2p.reshape(ntiles, R_tile, 128), n_hit_l,
                 interpret=_pallas_interpret())
             # Remap the pad sentinel H -> H_pad: the prefix/cf arrays'
             # dedicated zero entries sit past the PADDED grid.
             pre2 = jnp.where(pre_l == H, H_pad, pre_l)
             end2 = jnp.where(end_l == H, H_pad, end_l)
-            return acc + _interval_from_blocks(
-                cf3.reshape(-1), t3.reshape(-1), pre2, end2, dtype), None
-        s_sorted = _sorted_scores(pre_l, end_l, prev_l, blk_l)
+            acc = acc + _interval_from_blocks(
+                cf3.reshape(-1), t3.reshape(-1), pre2, end2, dtype)
+            continue
+        s_sorted = (anchors[:, None] + jnp.cumsum(
+            d2.reshape(nblk_l, SEG_BLK).at[:, 0].set(0.0),
+            axis=1)).reshape(-1)
         w = jnp.exp(rows[:, 0] + rows[:, 1] + s_sorted)
         # Zero the miss tail: its gathered rows are finite garbage and
         # the last real segment can share a SEG_BLK block with it.
         w = jnp.where(jnp.arange(H, dtype=jnp.int32) < n_hit_l, w, 0.0)
-        return acc + _interval_sums(w, pre_l, end_l, dtype), None
-
-    acc, _ = jax.lax.scan(
-        length_body, jnp.zeros((nbins,), dtype),
-        (jnp.arange(L, dtype=jnp.int32), odds,
-         seg.perm, seg.pre_pos, seg.end_pos, seg.n_hit,
-         seg.prev_slot, seg.blk_slot))
-    del slot_ar
+        acc = acc + _interval_sums(w, pre_l, end_l, dtype)
     return acc
 
 

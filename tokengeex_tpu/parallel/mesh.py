@@ -234,17 +234,17 @@ def build_seg_struct_sharded(slots, nbins: int, mesh):
             count_local, mesh=mesh, in_specs=(P(axis),),
             out_specs=P(axis)))
     n_hit_sh = _FN_CACHE[ck](slots)  # (n_sh, L)
-    max_hit = int(jax.device_get(jnp.max(n_hit_sh)))
-    cap = lj.SEG_BLK
-    while cap < max_hit:
-        cap *= 2
-    cap = min(cap, BW_loc)
+    # PER-LENGTH capacities (pow2), agreed across shards (the max).
+    max_hits = [int(x) for x in
+                jax.device_get(jnp.max(n_hit_sh, axis=0))]
+    caps = tuple(min(lj.seg_cap(h), BW_loc) for h in max_hits)
 
-    bk = ("seg_build", _mesh_key(mesh), slots.shape, nbins, cap)
+    bk = ("seg_build", _mesh_key(mesh), slots.shape, nbins, caps)
     if bk not in _FN_CACHE:
         def build_local(sl):
             perms, pres, ends, nh, prevs, blks = [], [], [], [], [], []
             for l0 in range(L):
+                cap = caps[l0]
                 flat = sl[:, l0, :].reshape(-1)
                 perm = jnp.argsort(flat).astype(jnp.int32)
                 srt = jnp.take(flat, perm)
@@ -254,29 +254,32 @@ def build_seg_struct_sharded(slots, nbins: int, mesh):
                 pre = jnp.where(present & (ss[:-1] > 0), ss[:-1] - 1,
                                 cap).astype(jnp.int32)
                 end = jnp.where(present, ss[1:] - 1, cap).astype(jnp.int32)
-                perms.append(perm[:cap])
+                perms.append(perm[:cap][None])
                 pres.append(pre)
                 ends.append(end)
                 nh.append(ss[nbins].astype(jnp.int32))
                 prevs.append(lj._prev_present(present, nbins))
                 blks.append(jnp.minimum(
                     srt[:cap][:: lj.SEG_BLK],
-                    jnp.int32(nbins)).astype(jnp.int32))
-            return (jnp.stack(perms)[None], jnp.stack(pres)[None],
+                    jnp.int32(nbins)).astype(jnp.int32)[None])
+            return (tuple(perms), jnp.stack(pres)[None],
                     jnp.stack(ends)[None], jnp.stack(nh)[None],
-                    jnp.stack(prevs)[None], jnp.stack(blks)[None])
+                    jnp.stack(prevs)[None], tuple(blks))
 
         _FN_CACHE[bk] = jax.jit(shard_map(
             build_local, mesh=mesh, in_specs=(P(axis),),
-            out_specs=(P(axis),) * 6))
+            out_specs=((P(axis),) * L, P(axis), P(axis), P(axis),
+                       P(axis), (P(axis),) * L)))
     perm, pre, end, n_hit, prev_slot, blk_slot = _FN_CACHE[bk](slots)
     return lj.SegStruct(perm, pre, end, n_hit, prev_slot, blk_slot)
 
 
 def seg_call_args(seg):
-    """SegStruct -> the 6 per-call arrays of the seg-enabled factories."""
-    return (seg.perm, seg.pre_pos, seg.end_pos, seg.n_hit,
-            seg.prev_slot, seg.blk_slot)
+    """SegStruct -> the flat per-call array tuple of the seg-enabled
+    factories: L perm planes, pre, end, n_hit, prev_slot, L blk
+    planes."""
+    return tuple(seg.perm) + (seg.pre_pos, seg.end_pos, seg.n_hit,
+                              seg.prev_slot) + tuple(seg.blk_slot)
 
 
 def sharded_e_step_seg(dt, mesh, width: int, chunk: int, dtype,
@@ -323,10 +326,12 @@ def sharded_e_step_seg(dt, mesh, width: int, chunk: int, dtype,
         score = slots = None
         if not fused:
             score, slots = rest.pop(0), rest.pop(0)
-        perm, pre, end, n_hit, prev_sl, blk_sl, slot_rows = (
-            rest.pop(0) for _ in range(7))
-        seg = lj.SegStruct(perm[0], pre[0], end[0], n_hit[0],
-                           prev_sl[0], blk_sl[0])
+        perm = tuple(rest.pop(0)[0] for _ in range(L))
+        pre, end, n_hit, prev_sl = (rest.pop(0) for _ in range(4))
+        blk_sl = tuple(rest.pop(0)[0] for _ in range(L))
+        slot_rows = rest.pop(0)
+        seg = lj.SegStruct(perm, pre[0], end[0], n_hit[0],
+                           prev_sl[0], blk_sl)
         drop_u = rest.pop(0) if rest else None
         if fused:
             A = lj.forward(tbl, batch, C=chunk, dtype=dtype,
@@ -351,7 +356,7 @@ def sharded_e_step_seg(dt, mesh, width: int, chunk: int, dtype,
     in_specs = (P(),) * 10 + (P(axis),) * 6 + (P(), P())
     if not fused:
         in_specs = in_specs + (P(axis), P(axis))
-    in_specs = in_specs + (P(axis),) * 6 + (P(),)
+    in_specs = in_specs + (P(axis),) * (2 * L + 4) + (P(),)
     if dropout > 0.0:
         in_specs = in_specs + (P(axis),)
     sharded = shard_map(
