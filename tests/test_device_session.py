@@ -298,6 +298,11 @@ def test_session_device_freq_counts_single_device(setup, monkeypatch):
 
     monkeypatch.setattr(lj, "viterbi_freq", spy)
     sess = DeviceTrainSession(model, all_samples, max_snippet=512)
+    # Warm the EM caches FIRST: the freq packing's group indices must
+    # never collide with the EM slot cache (fed EM-shaped caches to
+    # freq-shaped batches and crashed the 1.1 GB run).
+    sess.e_step(model, 0.0, 0)
+    assert sess.slot_cache
     freqs = sess.count_frequencies(model)
     assert calls["n"] > 0, "device frequency counting not engaged"
     want = model.native().count_frequencies(all_samples)

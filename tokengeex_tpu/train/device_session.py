@@ -739,7 +739,18 @@ class DeviceTrainSession:
         for gi, sub in groups:
             batch = self._freq_batch(gi, sub) if device_counts \
                 else self._batch_for(gi, sub)
-            if self.use_mesh:
+            if device_counts:
+                # The freq packing's group indices are NOT the EM
+                # packing's: never consult the EM slot/probe caches
+                # here (a gi collision fed EM-shaped caches to
+                # freq-shaped batches — crashed the 1.1 GB run). The
+                # probe rides inline in the Viterbi scan, once per
+                # round.
+                dp, best_l = lj.viterbi(
+                    self.dt, batch, C=self.chunk, dtype=self.dtype,
+                    backend="fused" if self._vscan_ok() else self.kernel,
+                    probe=self.probe)
+            elif self.use_mesh:
                 score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns()
                 dp, best_l = fns["viterbi"](
