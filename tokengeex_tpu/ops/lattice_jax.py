@@ -1791,44 +1791,56 @@ class SegStruct:
                length pay the densest length's gathers — 92M vs 28M
                real hits on the 8 MB bench; round 4). Misses (slot ==
                nbins) sort to the tail and are never read.
-      pre_pos: (L, nbins) int32 — sorted index JUST BEFORE the slot's
-               segment (its prefix subtracts out), or cap_l (a zero pad
-               cell) when the segment starts at 0 or the slot is absent
-      end_pos: (L, nbins) int32 — index of the segment's LAST element,
-               or cap_l for slots absent at this length
+      pre_pos: (L, OC) int32 over the COMPACT occurring-slot domain —
+               sorted index JUST BEFORE the slot's segment (its prefix
+               subtracts out), or cap_l (a zero pad cell) when the
+               segment starts at 0; cap_l for pad occ entries
+      end_pos: (L, OC) int32 — index of the segment's LAST element,
+               cap_l for pad occ entries
       n_hit:   (L,) int32 — number of real hits; sorted entries past it
                are misses whose gathered [alpha-Z, beta] rows are
                finite garbage and must weigh 0
-      prev_slot: (L, nbins) int32 — for each PRESENT slot, the present
-               slot immediately before it in sorted order (itself for
-               the first); static, drives the per-pass score expansion
-               over sorted hits (telescoping diffs)
+      occ_slot: (L, OC) int32 — the slots that actually OCCUR at this
+               length, ascending, padded with nbins. A slot occurs at
+               exactly one length (slots are per-token and a token has
+               one byte length), so sum_l n_occ_l <= V + 1 and OC (the
+               pow2-quantized max over lengths) is vocabulary-sized —
+               the round-3 layout kept THREE (L, nbins) maps over the
+               full slot space (nbins = bucket slots, ~16x the vocab),
+               which at a 32k vocab / L=16 was ~100 MB of the
+               structure's 236 MB (VERDICT r3 item 5). Per-pass sums
+               are evaluated at occ positions only and scatter-added
+               (V-sized, trivial) into the (nbins,) accumulator.
       blk_slot: L-tuple of (cap_l/SEG_BLK,) int32 — slot of the sorted
                hit at each SEG_BLK block start (nbins where the block
-               is past the hits); the expansion's per-block anchors
+               is past the hits); the per-pass score expansion's
+               per-block anchors (telescoping diffs between consecutive
+               occurring slots, derived from occ_slot each pass)
     """
 
     perm: tuple
     pre_pos: jax.Array
     end_pos: jax.Array
     n_hit: jax.Array
-    prev_slot: jax.Array
+    occ_slot: jax.Array
     blk_slot: tuple
 
     def nbytes(self) -> int:
         return 4 * (sum(int(p.size) for p in self.perm)
                     + int(self.pre_pos.size)
-                    + int(self.end_pos.size) + int(self.prev_slot.size)
+                    + int(self.end_pos.size) + int(self.occ_slot.size)
                     + sum(int(b.size) for b in self.blk_slot))
 
     @staticmethod
     def est_bytes(B: int, L: int, W: int, nbins: int) -> int:
-        return L * (B * W * 4 + nbins * 12)
+        # perm dominates (4 B per (pos, len) hit, pre-compaction bound);
+        # the occ-domain maps are vocabulary-sized, not nbins-sized.
+        return L * B * W * 4
 
 
 jax.tree_util.register_pytree_node(
     SegStruct,
-    lambda s: ((s.perm, s.pre_pos, s.end_pos, s.n_hit, s.prev_slot,
+    lambda s: ((s.perm, s.pre_pos, s.end_pos, s.n_hit, s.occ_slot,
                 s.blk_slot), None),
     lambda _, c: SegStruct(*c),
 )
@@ -1849,17 +1861,6 @@ def seg_cap(n_hit: int) -> int:
 SEG_BLK = 128
 
 
-def _prev_present(present, nbins):
-    """(nbins,) int32: for each present slot, the present slot
-    immediately before it in slot order — itself for the first (its
-    telescoping diff is then exactly 0)."""
-    ar = jnp.arange(nbins, dtype=jnp.int32)
-    marked = jnp.where(present, ar, jnp.int32(-1))
-    cm = jax.lax.cummax(marked)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), cm[:-1]])
-    return jnp.where(prev >= 0, prev, ar)
-
-
 @functools.partial(jax.jit, static_argnums=(1,))
 def _seg_sort_one(slots_flat, nbins):
     perm = jnp.argsort(slots_flat)
@@ -1876,8 +1877,25 @@ def _seg_sort_one(slots_flat, nbins):
     blk_slot = jnp.minimum(sorted_slots[::SEG_BLK],
                            jnp.int32(nbins)).astype(jnp.int32)
     return (perm.astype(jnp.int32), pre_pos, end_pos,
-            ss[nbins].astype(jnp.int32), _prev_present(present, nbins),
-            blk_slot)
+            ss[nbins].astype(jnp.int32), present, blk_slot)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _seg_compact_one(pre, end, present, OC, cap, nbins):
+    """Compact full-slot-domain (nbins,) pre/end maps to the occurring
+    slots (static per session): occ_slot ascending padded with nbins;
+    pad entries read the cap sentinel (the zero pad cell)."""
+    occ = jnp.nonzero(present, size=OC,
+                      fill_value=nbins)[0].astype(jnp.int32)
+    sent = jnp.full((1,), cap, jnp.int32)
+    # Real sorted indices are < n_hit <= cap; anything >= cap is the
+    # sorter's BW pad and remaps to this capacity's zero pad cell.
+    pre_p = jnp.concatenate([jnp.minimum(pre, cap).astype(jnp.int32),
+                             sent])
+    end_p = jnp.concatenate([jnp.minimum(end, cap).astype(jnp.int32),
+                             sent])
+    safe = jnp.minimum(occ, jnp.int32(nbins))
+    return occ, jnp.take(pre_p, safe), jnp.take(end_p, safe)
 
 
 def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
@@ -1893,7 +1911,7 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
     quantized so at most a couple of shapes ever compile."""
     B, L, W = slots.shape
     BW = B * W
-    perms, pres, ends, nhits, prevs, blks = [], [], [], [], [], []
+    perms, pres, ends, nhits, prsnt, blks = [], [], [], [], [], []
     for l0 in range(L):
         p, b, e, n, pv, bs = _seg_sort_one(slots[:, l0, :].reshape(-1),
                                            nbins)
@@ -1901,24 +1919,27 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
         pres.append(b)
         ends.append(e)
         nhits.append(n)
-        prevs.append(pv)
+        prsnt.append(pv)
         blks.append(bs)
-    n_hit_host = [int(x) for x in
-                  jax.device_get(jnp.stack(nhits))]  # host sync, per build
+    noccs = [jnp.sum(pv, dtype=jnp.int32) for pv in prsnt]
+    # host sync, per build: per-length hit counts + occupancy counts
+    counts = [int(x) for x in
+              jax.device_get(jnp.stack(nhits + noccs))]
+    n_hit_host, n_occ_host = counts[:L], counts[L:]
     caps = [min(seg_cap(h), BW) for h in n_hit_host]
-    perm_t, blk_t, pres2, ends2 = [], [], [], []
+    OC = max(8, 1 << (max(max(n_occ_host), 1) - 1).bit_length())
+    perm_t, blk_t, occ2, pres2, ends2 = [], [], [], [], []
     for l0 in range(L):
         cap = caps[l0]
         perm_t.append(perms[l0][:cap])
         blk_t.append(blks[l0][: cap // SEG_BLK])
-        # pre/end index into the sorted order (always < n_hit <= cap
-        # for present segments); the BW pad cell moves to index cap_l.
-        pres2.append(jnp.where(pres[l0] == BW, cap,
-                               pres[l0]).astype(jnp.int32))
-        ends2.append(jnp.where(ends[l0] == BW, cap,
-                               ends[l0]).astype(jnp.int32))
+        o, b, e = _seg_compact_one(pres[l0], ends[l0], prsnt[l0],
+                                   OC, cap, nbins)
+        occ2.append(o)
+        pres2.append(b)
+        ends2.append(e)
     return SegStruct(tuple(perm_t), jnp.stack(pres2), jnp.stack(ends2),
-                     jnp.stack(nhits), jnp.stack(prevs), tuple(blk_t))
+                     jnp.stack(nhits), jnp.stack(occ2), tuple(blk_t))
 
 
 def _interval_sums(w: jax.Array, pre_pos: jax.Array,
@@ -2060,12 +2081,13 @@ def _segsum_expected_impl(
     use_kernel = _os.environ.get("TGX_SEG_KERNEL", "1") != "0" \
         and dtype == jnp.float32
 
-    acc = jnp.zeros((nbins,), dtype)
+    acc = jnp.zeros((nbins + 1,), dtype)
     for l0 in range(L):
         perm_l = seg.perm[l0]
         blk_l = seg.blk_slot[l0]
-        pre_l = seg.pre_pos[l0]
-        end_l = seg.end_pos[l0]
+        occ_l = seg.occ_slot[l0]   # (OC,) occurring slots, pad nbins
+        pre_l = seg.pre_pos[l0]    # (OC,)
+        end_l = seg.end_pos[l0]    # (OC,)
         n_hit_l = seg.n_hit[l0]
         H = perm_l.shape[0]  # this length's compact capacity
         nblk_l = H // SEG_BLK
@@ -2081,8 +2103,11 @@ def _segsum_expected_impl(
         present = end_l != H
         start_pos = jnp.where(
             present, jnp.where(pre_l == H, 0, pre_l + 1), H)
-        dvals = sc - jnp.take(sc, prev_slot_l := seg.prev_slot[l0])
-        del prev_slot_l
+        # Telescoping score diffs between CONSECUTIVE occurring slots
+        # (pad occ entries read sc_pad's zero cell and are dropped by
+        # their start_pos == H).
+        sc_occ = jnp.take(sc_pad, occ_l)
+        dvals = sc_occ - jnp.concatenate([sc_occ[:1], sc_occ[:-1]])
         d = jnp.zeros((H,), dtype).at[start_pos].add(dvals, mode="drop")
         anchors = jnp.take(sc_pad, blk_l)  # (nblk_l,)
         d2 = jnp.concatenate(
@@ -2108,8 +2133,9 @@ def _segsum_expected_impl(
             # dedicated zero entries sit past the PADDED grid.
             pre2 = jnp.where(pre_l == H, H_pad, pre_l)
             end2 = jnp.where(end_l == H, H_pad, end_l)
-            acc = acc + _interval_from_blocks(
+            sums_l = _interval_from_blocks(
                 cf3.reshape(-1), t3.reshape(-1), pre2, end2, dtype)
+            acc = acc.at[occ_l].add(sums_l)
             continue
         s_sorted = (anchors[:, None] + jnp.cumsum(
             d2.reshape(nblk_l, SEG_BLK).at[:, 0].set(0.0),
@@ -2118,8 +2144,8 @@ def _segsum_expected_impl(
         # Zero the miss tail: its gathered rows are finite garbage and
         # the last real segment can share a SEG_BLK block with it.
         w = jnp.where(jnp.arange(H, dtype=jnp.int32) < n_hit_l, w, 0.0)
-        acc = acc + _interval_sums(w, pre_l, end_l, dtype)
-    return acc
+        acc = acc.at[occ_l].add(_interval_sums(w, pre_l, end_l, dtype))
+    return acc[:nbins]
 
 
 def fold_expected(tbl: DeviceTables, acc) -> np.ndarray:

@@ -226,23 +226,33 @@ def build_seg_struct_sharded(slots, nbins: int, mesh):
     ck = ("seg_count", _mesh_key(mesh), slots.shape, nbins)
     if ck not in _FN_CACHE:
         def count_local(sl):
-            # (B_loc, L, W) -> (1, L) hit counts
-            return jnp.sum((sl < nbins).reshape(sl.shape[0], L, W),
+            # (B_loc, L, W) -> (1, L) hit counts, (1, L) occupancy
+            # (distinct slots) counts
+            hits = jnp.sum((sl < nbins).reshape(sl.shape[0], L, W),
                            axis=(0, 2), dtype=jnp.int32)[None, :]
+            occn = []
+            for l0 in range(L):
+                memb = jnp.zeros((nbins,), jnp.bool_).at[
+                    sl[:, l0, :].reshape(-1)].set(True, mode="drop")
+                occn.append(jnp.sum(memb, dtype=jnp.int32))
+            return hits, jnp.stack(occn)[None, :]
 
         _FN_CACHE[ck] = jax.jit(shard_map(
             count_local, mesh=mesh, in_specs=(P(axis),),
-            out_specs=P(axis)))
-    n_hit_sh = _FN_CACHE[ck](slots)  # (n_sh, L)
-    # PER-LENGTH capacities (pow2), agreed across shards (the max).
+            out_specs=(P(axis), P(axis))))
+    n_hit_sh, n_occ_sh = _FN_CACHE[ck](slots)  # (n_sh, L) each
+    # PER-LENGTH capacities (pow2), agreed across shards (the max);
+    # one shared occ capacity (pow2 of the max per-length occupancy).
     max_hits = [int(x) for x in
                 jax.device_get(jnp.max(n_hit_sh, axis=0))]
     caps = tuple(min(lj.seg_cap(h), BW_loc) for h in max_hits)
+    max_occ = max(1, int(jax.device_get(jnp.max(n_occ_sh))))
+    OC = max(8, 1 << (max_occ - 1).bit_length())
 
-    bk = ("seg_build", _mesh_key(mesh), slots.shape, nbins, caps)
+    bk = ("seg_build", _mesh_key(mesh), slots.shape, nbins, caps, OC)
     if bk not in _FN_CACHE:
         def build_local(sl):
-            perms, pres, ends, nh, prevs, blks = [], [], [], [], [], []
+            perms, pres, ends, nh, occs, blks = [], [], [], [], [], []
             for l0 in range(L):
                 cap = caps[l0]
                 flat = sl[:, l0, :].reshape(-1)
@@ -254,32 +264,34 @@ def build_seg_struct_sharded(slots, nbins: int, mesh):
                 pre = jnp.where(present & (ss[:-1] > 0), ss[:-1] - 1,
                                 cap).astype(jnp.int32)
                 end = jnp.where(present, ss[1:] - 1, cap).astype(jnp.int32)
+                o, b, e = lj._seg_compact_one(pre, end, present,
+                                              OC, cap, nbins)
                 perms.append(perm[:cap][None])
-                pres.append(pre)
-                ends.append(end)
+                pres.append(b)
+                ends.append(e)
                 nh.append(ss[nbins].astype(jnp.int32))
-                prevs.append(lj._prev_present(present, nbins))
+                occs.append(o)
                 blks.append(jnp.minimum(
                     srt[:cap][:: lj.SEG_BLK],
                     jnp.int32(nbins)).astype(jnp.int32)[None])
             return (tuple(perms), jnp.stack(pres)[None],
                     jnp.stack(ends)[None], jnp.stack(nh)[None],
-                    jnp.stack(prevs)[None], tuple(blks))
+                    jnp.stack(occs)[None], tuple(blks))
 
         _FN_CACHE[bk] = jax.jit(shard_map(
             build_local, mesh=mesh, in_specs=(P(axis),),
             out_specs=((P(axis),) * L, P(axis), P(axis), P(axis),
                        P(axis), (P(axis),) * L)))
-    perm, pre, end, n_hit, prev_slot, blk_slot = _FN_CACHE[bk](slots)
-    return lj.SegStruct(perm, pre, end, n_hit, prev_slot, blk_slot)
+    perm, pre, end, n_hit, occ_slot, blk_slot = _FN_CACHE[bk](slots)
+    return lj.SegStruct(perm, pre, end, n_hit, occ_slot, blk_slot)
 
 
 def seg_call_args(seg):
     """SegStruct -> the flat per-call array tuple of the seg-enabled
-    factories: L perm planes, pre, end, n_hit, prev_slot, L blk
+    factories: L perm planes, pre, end, n_hit, occ_slot, L blk
     planes."""
     return tuple(seg.perm) + (seg.pre_pos, seg.end_pos, seg.n_hit,
-                              seg.prev_slot) + tuple(seg.blk_slot)
+                              seg.occ_slot) + tuple(seg.blk_slot)
 
 
 def sharded_e_step_seg(dt, mesh, width: int, chunk: int, dtype,
@@ -327,11 +339,11 @@ def sharded_e_step_seg(dt, mesh, width: int, chunk: int, dtype,
         if not fused:
             score, slots = rest.pop(0), rest.pop(0)
         perm = tuple(rest.pop(0)[0] for _ in range(L))
-        pre, end, n_hit, prev_sl = (rest.pop(0) for _ in range(4))
+        pre, end, n_hit, occ_sl = (rest.pop(0) for _ in range(4))
         blk_sl = tuple(rest.pop(0)[0] for _ in range(L))
         slot_rows = rest.pop(0)
         seg = lj.SegStruct(perm, pre[0], end[0], n_hit[0],
-                           prev_sl[0], blk_sl)
+                           occ_sl[0], blk_sl)
         drop_u = rest.pop(0) if rest else None
         if fused:
             A = lj.forward(tbl, batch, C=chunk, dtype=dtype,
