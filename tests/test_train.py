@@ -151,6 +151,37 @@ def test_mine():
     assert idioms == [("std::string", 3), ("std::vector", 2)]
 
 
+def test_mine_leftmost_semantics_deviation():
+    """Counter-example pinning the documented native-path deviation
+    (PARITY.md "known deviations"): the reference's find_iter is
+    leftmost-FIRST over alternations (src/mine.rs:33, Rust regex crate
+    semantics: earlier alternative wins at the same start), while the
+    native DFA scanner is leftmost-LONGEST. On `a|ab` over "ab xx ab"
+    the two disagree; on every committed PATTERNS alternation they
+    agree (tests/test_redfa.py conformance table)."""
+    from tokengeex_tpu.utils import nativelib
+
+    samples = ["ab xx ab"]
+    miner = IdiomMiner(4, r"a|ab")
+    got = dict(miner.mine(samples))
+    if nativelib.get_lib() is not None:
+        native = miner._mine_native(samples)
+        assert native is not None, "native miner unexpectedly skipped"
+        # leftmost-longest: the whole alternation's longest match wins.
+        assert dict(native) == {"ab": 2}
+        assert got == {"ab": 2}
+    # Reference (leftmost-first) behavior, from the serial re path the
+    # miner falls back to for non-DFA-able patterns:
+    import re
+
+    from tokengeex_tpu.train.patterns import rust_to_python
+
+    ref = {}
+    for m in re.compile(rust_to_python(r"a|ab")).finditer(samples[0]):
+        ref[m.group(0)] = ref.get(m.group(0), 0) + 1
+    assert ref == {"a": 2}
+
+
 def test_filter():
     vocab = make_vocab(
         [(b"a", -1.0), (b"b", -5.0), (b"c", -9.0), (b"d", -13.0), (b"e", -20.0)]

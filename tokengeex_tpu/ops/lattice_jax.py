@@ -1832,9 +1832,11 @@ class SegStruct:
                     + sum(int(b.size) for b in self.blk_slot))
 
     @staticmethod
-    def est_bytes(B: int, L: int, W: int, nbins: int) -> int:
+    def est_bytes(B: int, L: int, W: int) -> int:
         # perm dominates (4 B per (pos, len) hit, pre-compaction bound);
-        # the occ-domain maps are vocabulary-sized, not nbins-sized.
+        # the occ-domain maps are vocabulary-sized, not nbins-sized and
+        # small next to the perm bound, so they are left out of this
+        # optimistic pre-check (seg.nbytes() gates caching post-build).
         return L * B * W * 4
 
 
@@ -1894,8 +1896,9 @@ def _seg_compact_one(pre, end, present, OC, cap, nbins):
                              sent])
     end_p = jnp.concatenate([jnp.minimum(end, cap).astype(jnp.int32),
                              sent])
-    safe = jnp.minimum(occ, jnp.int32(nbins))
-    return occ, jnp.take(pre_p, safe), jnp.take(end_p, safe)
+    # occ is already bounded to [0, nbins] by nonzero's fill_value, in
+    # range for the (nbins + 1,) padded maps — no clamp needed.
+    return occ, jnp.take(pre_p, occ), jnp.take(end_p, occ)
 
 
 def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:

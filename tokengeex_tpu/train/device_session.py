@@ -501,7 +501,7 @@ class DeviceTrainSession:
         nbins = lj.seg_nbins(self.dt, self.dtype)
         # Optimistic pre-check (compaction typically shrinks the hit
         # lists >= 4x); the ACTUAL size gates caching after the build.
-        est = lj.SegStruct.est_bytes(B, L, W, nbins) // 4 // self.n_proc
+        est = lj.SegStruct.est_bytes(B, L, W) // 4 // self.n_proc
         if self.cache_used + est > self.cache_budget:
             return None
         if self.use_mesh:
