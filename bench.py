@@ -55,10 +55,16 @@ def _ensure_reachable_backend():
         [sys.executable, os.path.abspath(__file__)], env=env).returncode)
 
 
-def build_corpus(nbytes: int):
+def build_corpus(nbytes: int, realistic: bool = False):
     """Synthetic code-like corpus with enough lexical diversity that the
     generate stage actually fills TGX_BENCH_VOCAB distinct tokens
-    (round 1 used a 29-word pool that capped the vocab at 576)."""
+    (round 1 used a 29-word pool that capped the vocab at 576).
+
+    realistic=True interleaves code punctuation/digits the `^ ?[a-z]+$`
+    allow-regex can never tokenize, pulling the probe hit rate from the
+    adversarial ~50% of the all-words corpus down toward the 10-30%
+    real code exhibits (BASELINE.md round 4) — the recipe-config bench
+    measures THIS corpus so the driver tracks a workload-shaped number."""
     rng = np.random.default_rng(0)
     keywords = [
         "def", "return", "value", "data", "self", "import", "print",
@@ -79,12 +85,20 @@ def build_corpus(nbytes: int):
     # Zipf-ish mixture: keywords dominate, identifiers long-tail.
     weights = np.array([1.0 / (1 + i) ** 0.7 for i in range(len(pool))])
     weights /= weights.sum()
+    seps = [" ", "(", ") ", ", ", "._", " = ", ": ", "[0]", "();\n    ",
+            " == 1", "...", "{}", " += 2", "'%s'"]
     lines = []
     size = 0
     while size < nbytes:
         n = int(rng.integers(3, 12))
         picks = rng.choice(len(pool), size=n, p=weights)
-        line = " ".join(pool[i] for i in picks)
+        words = [pool[i] for i in picks]
+        if realistic:
+            joins = rng.integers(0, len(seps), n - 1) if n > 1 else []
+            line = words[0] + "".join(
+                seps[j] + w for j, w in zip(joins, words[1:]))
+        else:
+            line = " ".join(words)
         lines.append(line)
         size += len(line) + 1
     text = "\n".join(lines).encode()[:nbytes]
@@ -206,6 +220,86 @@ def main():
                                         seg=seg, C=Cc, backend=kernel))
         log(f"estep: {1e9/em_rate:.1f} s/GB per EM sub-iteration")
 
+    # -- Recipe config: vocab 32k, L=16, realistic hit rate ------------------
+    # (VERDICT r4 item 3: the driver must track the number the recipe
+    # pays, not only the fused small-vocab config.) Measures the
+    # recipe's STEADY prune-loop path at a vocabulary past the vscan
+    # boundary: bucket probe once per session -> dense-rank remap ->
+    # per-pass rank-table regathers + segsum counts — plus the fresh
+    # one-shot encode (inline bucket probe) for the inference path.
+    extra = {}
+    v2 = int(os.environ.get("TGX_BENCH_VOCAB2", "32768"))
+    if v2:
+        samples2 = build_corpus(int(corpus_mb * 1e6), realistic=True)
+        total2 = sum(map(len, samples2))
+        gen2 = VocabularyGenerator(max_token_length=16,
+                                   insert_probability=1.0,
+                                   allow=r"^ ?[a-z]+$", seed=0)
+        # ~1 MB of feed: 50 samples (~100 KB) max out near ~10k
+        # distinct allowed substrings — too few to fill 32k.
+        gen2.feed([s.decode() for s in samples2[:500]])
+        vocab2 = gen2.generate(v2)
+        model2 = Model(vocab2)
+        tbl2 = TokenTable.build(model2.vocab)
+        dt2 = lj.DeviceTables.from_table(tbl2, dtype=jnp.float32)
+        log(f"recipe config: vocab {len(vocab2)} (bits={tbl2.bits}, "
+            f"vscan={lj.has_vscan(dt2)}), L={dt2.max_len}, "
+            f"{total2/1e6:.1f}MB realistic corpus")
+        packed2 = pack_samples(samples2, width=width, max_snippet=width,
+                               row_multiple=128)
+        batch2 = lj.prepare_batch(packed2, dt2.max_len)
+        jax.block_until_ready(batch2.p1)
+
+        def t2(name, fn, total=total2):
+            t0 = time.time()
+            sync(fn())
+            log(f"{name}: compile+first {time.time()-t0:.1f}s")
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                sync(fn())
+                runs.append(time.time() - t0)
+            best = min(runs)
+            log(f"{name}: steady {best:.3f}s -> {total/best/1e6:.1f} MB/s")
+            return total / best
+
+        enc2 = t2("viterbi 32k (fresh bucket probe)",
+                  lambda: lj.viterbi(dt2, batch2, C=Cc, unroll=8,
+                                     backend=kernel))
+        t0 = time.time()
+        _sc2, slots2 = lj.match_cache(dt2, batch2, C=Cc,
+                                      dtype=jnp.float32)
+        rank2 = lj.build_rank_space(tbl2)
+        slots2 = lj.remap_slots(jnp.asarray(rank2.lut), slots2)
+        sync(slots2)
+        log(f"32k session probe + rank remap (once): "
+            f"{time.time()-t0:.1f}s")
+        hit = float(jnp.mean((slots2 < rank2.n_pad).astype(jnp.float32)))
+        log(f"32k probe hit rate: {hit:.3f} of (pos, len) pairs")
+        t0 = time.time()
+        seg2 = lj.build_seg_struct(slots2, rank2.n_pad)
+        sync(seg2.perm)
+        seg_build_s = time.time() - t0
+        log(f"32k seg struct build (once): {seg_build_s:.1f}s "
+            f"({seg2.nbytes()/1e6:.0f} MB)")
+        rank_rows2 = jnp.asarray(lj.rank_score_rows(rank2, tbl2))
+        vit2 = t2("viterbi 32k (cached ranks: recipe freq pass)",
+                  lambda: lj.viterbi_cached(dt2, batch2, slots2,
+                                            rank_rows2, C=Cc,
+                                            backend=kernel))
+        em2 = t2("estep 32k (cached ranks + segsum)",
+                 lambda: lj.estep_cached(dt2, batch2, slots2, rank_rows2,
+                                         seg=seg2, C=Cc, backend=kernel))
+        extra = {
+            "encode_32k_bytes_per_s": round(enc2, 1),
+            "viterbi_32k_bytes_per_s": round(vit2, 1),
+            "em_32k_bytes_per_s": round(em2, 1),
+            "em_32k_s_per_gb": round(1e9 / em2, 1),
+            "hit_rate_32k": round(hit, 4),
+            "seg_build_32k_s": round(seg_build_s, 2),
+            "vocab_32k": len(vocab2),
+        }
+
     vs = (dev_rate / nat_rate) if nat_rate else 0.0
     # gather_roofline_x: achieved multiple of the ROUND-3 pure-gather
     # roofline (one x16-row bucket gather per (pos, len) at the
@@ -227,6 +321,7 @@ def main():
         "em_s_per_gb": round(1e9 / em_rate, 1) if em_rate else None,
         "em_vs_native_4t_round1": round(em_rate / 9.8e6, 3)
         if em_rate else None,
+        **extra,
     }))
 
 

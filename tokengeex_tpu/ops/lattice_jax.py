@@ -1289,10 +1289,10 @@ def _rebuild_batch(arrs, width: int, pad: int) -> DeviceBatch:
 
 @functools.partial(jax.jit, static_argnames=(
     "meta", "width", "pad", "op", "C", "unroll", "dtype", "backend",
-    "probe", "dropout", "vpad"))
+    "probe", "dropout", "vpad", "nbins"))
 def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
                slot_rows, *, meta, width, pad, op, C, unroll, dtype,
-               backend, probe, dropout, vpad=0):
+               backend, probe, dropout, vpad=0, nbins=None):
     tbl = _rebuild_dt(dt_arrs, meta)
     batch = _rebuild_batch(batch_arrs, width, pad)
     if drop_u is not None and drop_u.ndim == 1 and dropout > 0.0:
@@ -1316,7 +1316,7 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
     if op == "backward_expected":
         return _backward_expected_impl(tbl, batch, A, C, unroll, dtype,
                                        drop_u, dropout, backend, probe,
-                                       cache)
+                                       cache, nbins)
     if op == "backward_betas":
         if backend == "fused":
             return _backward_betas_fused_impl(tbl, batch, C, dtype,
@@ -1353,9 +1353,12 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
             exp = _segsum_expected_impl(tbl, batch, A, Bt, seg,
                                         slot_rows, drop_u, dropout, dtype)
         else:
+            # Bin space follows slot_rows (rank rows when the session
+            # remapped its cached slots).
             exp = _backward_expected_impl(tbl, batch, A, C, unroll, dtype,
                                           drop_u, dropout, backend, probe,
-                                          cch)
+                                          cch,
+                                          int(slot_rows.shape[0]) - 1)
         return A, exp
     if op == "viterbi_freq":
         return _viterbi_freq_impl(tbl, batch, A, Bt, cache, C, unroll,
@@ -1406,7 +1409,7 @@ def dt_static_meta(tbl: DeviceTables, dtype=jnp.float32, probe=None):
 def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
               drop_u=None, dropout=0.0, backend="xla", probe=None,
               cache=None, carry=None, A=None, Bt=None, seg=None,
-              slot_rows=None, vpad=0):
+              slot_rows=None, vpad=0, nbins=None):
     # Resolve the probe mode HERE and pass it explicitly: dt_call_args
     # swaps the scores array (and a missing bucket table) for stable
     # placeholders in non-exact modes, and dt_static_meta blanks
@@ -1418,7 +1421,8 @@ def _dispatch(op, tbl, batch, *, C, unroll=16, dtype=jnp.float32,
         drop_u, carry, A, Bt, seg, slot_rows,
         meta=dt_static_meta(tbl, dtype, mode), width=batch.width,
         pad=batch.pad, op=op, C=C, unroll=unroll, dtype=dtype,
-        backend=backend, probe=mode, dropout=float(dropout), vpad=vpad)
+        backend=backend, probe=mode, dropout=float(dropout), vpad=vpad,
+        nbins=nbins)
 
 
 def viterbi(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
@@ -1446,11 +1450,12 @@ def match_cache(tbl, batch, C=512, dtype=jnp.float32, drop_u=None,
 
 def backward_expected(tbl, batch, A, C=256, unroll=16, dtype=jnp.float32,
                       drop_u=None, dropout=0.0, backend="xla", probe=None,
-                      cache=None):
+                      cache=None, nbins=None):
     """See _backward_expected_impl (jitted entry)."""
     return _dispatch("backward_expected", tbl, batch, C=C, unroll=unroll,
                      dtype=dtype, drop_u=drop_u, dropout=dropout,
-                     backend=backend, probe=probe, cache=cache, A=A)
+                     backend=backend, probe=probe, cache=cache, A=A,
+                     nbins=nbins)
 
 
 def backward_betas(tbl, batch, C=256, unroll=16, dtype=jnp.float32,
@@ -1563,14 +1568,17 @@ def _backward_expected_impl(
     backend: str = "xla",
     probe: Optional[str] = None,
     cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    nbins: Optional[int] = None,
 ) -> jax.Array:
     """Expected-count accumulator: scatter-added marginals
     exp(A[p] + score + B[p+l] - z) per matched token occurrence
     (reference: src/lattice.rs:245-312).
 
-    Fast (f32) path returns a SLOT-indexed accumulator of shape
-    (num_slots + 1,) — fold to per-token counts with fold_expected()
-    (after any cross-device psum). The exact (f64) path returns (V,)
+    Fast (f32) path returns a bin-indexed accumulator — probe slots by
+    default, or the caller's bin space via `nbins` (a session passes
+    its dense-rank size when the cached aux array was rank-remapped) —
+    fold to per-token counts with fold_expected() / fold_expected_rank()
+    after any cross-device psum. The exact (f64) path returns (V,)
     per-token counts directly; fold_expected() is a no-op slice there.
     """
     B = batch.p1.shape[0]
@@ -1584,10 +1592,8 @@ def _backward_expected_impl(
     mode = probe or _probe_mode(tbl, dtype)
     if mode == "exact":
         nbins = V
-    elif mode == "bucket":
-        nbins = tbl.bk_num_slots
-    else:
-        nbins = tbl.num_slots
+    elif nbins is None:
+        nbins = tbl.bk_num_slots if mode == "bucket" else tbl.num_slots
 
     # Per-position normalizer Z[p] = A[end of sample containing p].
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
@@ -1774,6 +1780,96 @@ def seg_nbins(tbl: DeviceTables, dtype) -> int:
     """Slot-space size of the default f32 probe (segsum bin count)."""
     mode = _probe_mode(tbl, dtype)
     return tbl.bk_num_slots if mode == "bucket" else tbl.num_slots
+
+
+# ---------------------------------------------------------------------------
+# Dense rank space: vocabulary-sized remap of the sparse probe slots
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RankSpace:
+    """Dense remap of the bucket probe's sparse slot space.
+
+    The single-probe bucket table keeps mean load <= 0.5 per 8-way
+    bucket, so its slot space is ~16x the vocabulary (8 * 2^bk_bits
+    slots for V tokens). Every per-pass structure that indexes SLOTS
+    inherits that sparsity: the score-regather table
+    (slot_score_rows) is 4 MB at a 32k vocab and 64 MB at 500k —
+    multi-MB tables gather at ~0.156 G rows/s on v5e vs ~0.39 G for
+    VMEM-stageable ones (BASELINE.md round 2) — and the SegStruct
+    sort/searchsorted domains scale with slots, not tokens.
+
+    Slots never move while a vocabulary shrinks (TokenTable.rebind), so
+    a session can remap its cached (B, L, W) slot arrays ONCE through a
+    static lut into the dense rank space [0, n): rank r = the r-th
+    occupied slot of the SESSION-INITIAL table, miss -> n_pad. Every
+    later pass gathers scores from a (n_pad + 1, 2) rank-indexed table
+    (256 KB at 32k — small-table gather rates at any vocabulary) and
+    accumulates counts into (n_pad,) bins. The reference has no
+    analogous structure (its trie lookups return ids directly,
+    src/trie.rs:22-64); this is the TPU-side equivalent of "ids", made
+    stable across rebinds.
+    """
+
+    lut: np.ndarray  # (bk_num_slots + 1,) int32: slot -> rank; miss/pad -> n_pad
+    occ: np.ndarray  # (n,) int64 occupied slots, ascending
+    n_pad: int       # pow2 >= n; the rank-space miss sentinel
+
+
+def build_rank_space(tbl: TokenTable) -> RankSpace:
+    """Rank space of a host TokenTable's bucket layout (the f32 default
+    probe). Build from the SESSION-INITIAL table: rebinds only empty
+    slots out, so the initial occupancy covers every later binding."""
+    assert tbl.bk is not None, "rank space requires the bucket layout"
+    nbins = 8 * (1 << tbl.bk_bits)
+    occ = np.nonzero(tbl.bk_ids >= 0)[0]
+    n = int(occ.size)
+    n_pad = max(8, 1 << (max(n, 1) - 1).bit_length())
+    lut = np.full(nbins + 1, n_pad, dtype=np.int32)
+    lut[occ] = np.arange(n, dtype=np.int32)
+    return RankSpace(lut=lut, occ=occ, n_pad=n_pad)
+
+
+_NEG_BITS_NP = np.array([NEG_INF], np.float32).view(np.int32)[0]
+
+
+def rank_score_rows(rank: RankSpace, tbl: TokenTable) -> np.ndarray:
+    """(n_pad + 1, 2) int32 rank-indexed score rows for the CURRENT
+    binding (drop-in for slot_score_rows + remapped slots). Removed
+    tokens' slots carry the empty sentinel (<= -1e38), which
+    score_from_slots normalizes to -inf exactly like the slot path."""
+    flat = tbl.bk[:, 1::2].reshape(-1)  # int32 f32-score bits per slot
+    col = np.full(rank.n_pad + 1, _NEG_BITS_NP, dtype=np.int32)
+    col[: rank.occ.size] = flat[rank.occ]
+    return np.stack([col, np.zeros_like(col)], axis=1)
+
+
+def rank_to_ids(rank: RankSpace, tbl: TokenTable) -> np.ndarray:
+    """(n,) CURRENT token id per rank (-1 for rebind-removed tokens)."""
+    return np.asarray(tbl.bk_ids[rank.occ], dtype=np.int64)
+
+
+@jax.jit
+def _take_lut(lut, slots):
+    return jnp.take(lut, slots, axis=0)
+
+
+def remap_slots(lut, slots) -> jax.Array:
+    """slots -> ranks through the (bk_num_slots + 1,) lut; paid once per
+    (session, group) when the probe result is cached."""
+    return _take_lut(lut, slots)
+
+
+def fold_expected_rank(acc, rank_ids: np.ndarray,
+                       vocab_size: int) -> np.ndarray:
+    """Fold a rank-indexed count accumulator to per-token counts (V,)."""
+    acc = np.asarray(acc, dtype=np.float64)
+    n = rank_ids.shape[0]
+    expected = np.zeros(vocab_size, dtype=np.float64)
+    valid = rank_ids >= 0
+    np.add.at(expected, rank_ids[valid], acc[:n][valid])
+    return expected
 
 
 @dataclasses.dataclass(frozen=True)
@@ -2043,7 +2139,10 @@ def _segsum_expected_impl(
     B = A.shape[0]
     W = batch.width
     L = tbl.max_len
-    nbins = seg_nbins(tbl, dtype)
+    # Bin space = whatever slot_rows indexes: the raw probe slot space
+    # (slot_score_rows) or the session's dense rank space
+    # (rank_score_rows) — both carry one trailing miss row.
+    nbins = slot_rows.shape[0] - 1
     BW = B * W
 
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)

@@ -78,7 +78,7 @@ def distributed_initialize(**kwargs) -> None:
 
 def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
                    dropout: float = 0.0, kernel: str = "xla",
-                   probe=None, with_cache: bool = False):
+                   probe=None, with_cache: bool = False, nbins=None):
     """Build a jitted, mesh-sharded E-step over packed batch arrays.
 
     Returns fn(*lj.dt_call_args(dt, dtype, probe), p1, p2, sid,
@@ -107,7 +107,7 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
     mode = probe or lj._probe_mode(dt, dtype)
     meta = lj.dt_static_meta(dt, dtype, probe)
     ck = ("e_step", _mesh_key(mesh), width, chunk, str(dtype),
-          float(dropout), kernel, mode, meta, with_cache)
+          float(dropout), kernel, mode, meta, with_cache, nbins)
     if ck in _FN_CACHE:
         return _FN_CACHE[ck]
 
@@ -137,7 +137,7 @@ def sharded_e_step(dt, mesh, width: int, chunk: int, dtype,
         expected = lj.backward_expected(tbl, batch, A, C=chunk, dtype=dtype,
                                         drop_u=drop_u, dropout=dropout,
                                         backend=kernel, probe=mode,
-                                        cache=cache)
+                                        cache=cache, nbins=nbins)
         expected = jax.lax.psum(expected, axis)
         return A, expected
 

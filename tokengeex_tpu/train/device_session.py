@@ -66,6 +66,19 @@ class DeviceTrainSession:
         self.chunk = ed.CHUNK
         self.base_tbl = TokenTable.build(model.vocab)
         self.L = self.base_tbl.max_token_len
+        # Dense rank space (lattice_jax.RankSpace): cached slot arrays
+        # are remapped once per group from the sparse bucket slot space
+        # (~16x vocab) to [0, n_occupied) so every later pass's score
+        # regather reads a vocabulary-sized table and count bins stay
+        # vocabulary-sized — at a 32k vocab that is 256 KB instead of
+        # 4 MB (small-table gather rates, BASELINE.md round 2), the
+        # difference between ~8 and ~13+ MB/s per EM pass.
+        self.use_rank = (self.dtype != jnp.float64
+                         and os.environ.get("TGX_RANK", "1") != "0"
+                         and self.base_tbl.bk is not None)
+        self.rank = lj.build_rank_space(self.base_tbl) \
+            if self.use_rank else None
+        self._lut_dev = None
         self.n_proc = jax.process_count()
         self.proc = jax.process_index()
         self.local_shard = bool(local_shard) and self.n_proc > 1
@@ -142,6 +155,7 @@ class DeviceTrainSession:
         self.dt = None
         self.tbl = None
         self.slot_rows = None
+        self._lut_dev = None
         self._model = None
         self.cache_used = 0
         self.input_used = 0
@@ -154,12 +168,22 @@ class DeviceTrainSession:
         tbl = self.base_tbl.rebind(model.vocab)
         self.tbl = tbl
         self.dt = lj.DeviceTables.from_table(tbl, self.dtype)
-        self.slot_rows = lj.slot_score_rows(self.dt)
+        if self.use_rank:
+            # Rank-indexed score rows + the current rank -> id map
+            # (both per-binding; the rank space itself is session-fixed).
+            self.slot_rows = lj.rank_score_rows(self.rank, tbl)
+            self.rank_ids = lj.rank_to_ids(self.rank, tbl)
+        else:
+            self.slot_rows = lj.slot_score_rows(self.dt)
         if getattr(self, "n_proc", 1) > 1:
             # Host numpy (uncommitted -> replicated): a committed
             # single-device array cannot mix with the global sharded
             # slot arrays in the cached-score regather.
             self.slot_rows = np.asarray(self.slot_rows)
+        elif self.use_rank:
+            import jax.numpy as _jnp
+
+            self.slot_rows = _jnp.asarray(self.slot_rows)
         self._model = model
         # The mesh-sharded fns take the table arrays as per-call args
         # (lj.dt_call_args), so f32 rebinds reuse them as-is; only the
@@ -171,6 +195,42 @@ class DeviceTrainSession:
 
     def _dt_call(self):
         return lj.dt_call_args(self.dt, self.dtype, self.probe)
+
+    def _nbins(self) -> int:
+        """Count-bin space of this session's cached aux arrays: the
+        dense rank space when enabled, else the raw probe slot space."""
+        if self.use_rank:
+            return self.rank.n_pad
+        return lj.seg_nbins(self.dt, self.dtype)
+
+    def _rank_lut(self):
+        """slot -> rank lut in the layout the remap call needs:
+        device-resident for single-process runs, host numpy
+        (uncommitted -> replicated) under a multi-process mesh."""
+        if self.n_proc > 1:
+            return self.rank.lut
+        if self._lut_dev is None:
+            import jax.numpy as jnp
+
+            self._lut_dev = jnp.asarray(self.rank.lut)
+        return self._lut_dev
+
+    def _remap(self, slots):
+        """Sparse probe slots -> dense ranks (once per session-cached
+        group; all downstream consumers — score regathers, SegStructs,
+        count accumulators — live in rank space)."""
+        if not self.use_rank:
+            return slots
+        return lj.remap_slots(self._rank_lut(), slots)
+
+    def _fold(self, acc) -> np.ndarray:
+        """Count accumulator -> per-token expected counts (V,)."""
+        if acc is None:
+            return np.zeros(self.dt.vocab_size, dtype=np.float64)
+        if self.use_rank:
+            return lj.fold_expected_rank(np.asarray(acc), self.rank_ids,
+                                         self.dt.vocab_size)
+        return lj.fold_expected(self.dt, acc)
 
     def _mesh_fns(self, dropout: float = 0.0):
         import jax  # noqa: F401
@@ -195,7 +255,8 @@ class DeviceTrainSession:
             self._fns[ekey] = pmesh.sharded_e_step(
                 self.dt, self._fns["mesh"], width=self.width,
                 chunk=self.chunk, dtype=self.dtype, kernel=self.kernel,
-                dropout=dropout, with_cache=True)
+                dropout=dropout, with_cache=True,
+                nbins=self._nbins() if self.use_rank else None)
         self._fns["estep"] = self._fns[ekey]
         return self._fns
 
@@ -439,6 +500,7 @@ class DeviceTrainSession:
             score, slots = lj.match_cache(self.dt, batch, C=self.chunk,
                                           dtype=self.dtype,
                                           probe=self.probe)
+        slots = self._remap(slots)
         size = int(np.prod(slots.shape)) * 4
         if self.cache_used + size <= self.cache_budget:
             self.slot_cache[gi] = slots
@@ -498,7 +560,7 @@ class DeviceTrainSession:
                 or gi not in self.slot_cache):
             return None
         B, L, W = slots.shape
-        nbins = lj.seg_nbins(self.dt, self.dtype)
+        nbins = self._nbins()
         # Optimistic pre-check (compaction typically shrinks the hit
         # lists >= 4x); the ACTUAL size gates caching after the build.
         est = lj.SegStruct.est_bytes(B, L, W) // 4 // self.n_proc
@@ -638,7 +700,8 @@ class DeviceTrainSession:
                     exp_g = lj.backward_expected(
                         self.dt, batch, A, C=self.chunk, dtype=self.dtype,
                         backend=self.kernel, cache=(score, slots),
-                        drop_u=drop_u, dropout=dropout)
+                        drop_u=drop_u, dropout=dropout,
+                        nbins=self._nbins() if self.use_rank else None)
             # Keep everything on device; sync every other group so at
             # most ~2 groups of intermediates are in flight (the host
             # still preps group g+1 while group g computes) — unbounded
@@ -662,8 +725,7 @@ class DeviceTrainSession:
                         A, rows_idx, ends_idx), spans))
                 if task is not None:
                     task.record(info["nbytes"], info["nsamples"])
-        expected = lj.fold_expected(self.dt, acc) if acc is not None \
-            else np.zeros(self.dt.vocab_size, dtype=np.float64)
+        expected = self._fold(acc)
         # Per-snippet normalizer check (reference: src/prune.rs:90-96).
         # Multi-process: failures allgathered BEFORE raising so no
         # process hangs in a later collective.
@@ -740,16 +802,29 @@ class DeviceTrainSession:
             batch = self._freq_batch(gi, sub) if device_counts \
                 else self._batch_for(gi, sub)
             if device_counts:
-                # The freq packing's group indices are NOT the EM
-                # packing's: never consult the EM slot/probe caches
-                # here (a gi collision fed EM-shaped caches to
-                # freq-shaped batches — crashed the 1.1 GB run). The
-                # probe rides inline in the Viterbi scan, once per
-                # round.
-                dp, best_l = lj.viterbi(
-                    self.dt, batch, C=self.chunk, dtype=self.dtype,
-                    backend="fused" if self._vscan_ok() else self.kernel,
-                    probe=self.probe)
+                # When the freq packing IS the EM packing
+                # (_freq_shared: every sample fits one EM snippet), the
+                # group indices coincide and the session's cached rank
+                # arrays apply — the frequency pass then pays a cheap
+                # rank-table score regather instead of a full bucket
+                # probe (the dominant cost at >16k vocab, where the
+                # fused in-VMEM probe does not apply). A DIFFERENT freq
+                # packing must never consult the EM caches: a gi
+                # collision fed EM-shaped caches to freq-shaped batches
+                # and crashed the 1.1 GB run (round 4).
+                if getattr(self, "_freq_shared", False) \
+                        and not self._vscan_ok() \
+                        and gi in self.slot_cache:
+                    dp, best_l = lj.viterbi_cached(
+                        self.dt, batch, self.slot_cache[gi],
+                        self.slot_rows, C=self.chunk, dtype=self.dtype,
+                        backend=self.kernel)
+                else:
+                    dp, best_l = lj.viterbi(
+                        self.dt, batch, C=self.chunk, dtype=self.dtype,
+                        backend="fused" if self._vscan_ok()
+                        else self.kernel,
+                        probe=self.probe)
             elif self.use_mesh:
                 score, slots = self._probe_group(gi, batch)
                 fns = self._mesh_fns()
