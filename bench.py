@@ -55,7 +55,8 @@ def _ensure_reachable_backend():
         [sys.executable, os.path.abspath(__file__)], env=env).returncode)
 
 
-def build_corpus(nbytes: int, realistic: bool = False):
+def build_corpus(nbytes: int, realistic: bool = False,
+                 pool_size: int = 3000, letters: bool = False):
     """Synthetic code-like corpus with enough lexical diversity that the
     generate stage actually fills TGX_BENCH_VOCAB distinct tokens
     (round 1 used a 29-word pool that capped the vocab at 576).
@@ -64,7 +65,12 @@ def build_corpus(nbytes: int, realistic: bool = False):
     allow-regex can never tokenize, pulling the probe hit rate from the
     adversarial ~50% of the all-words corpus down toward the 10-30%
     real code exhibits (BASELINE.md round 4) — the recipe-config bench
-    measures THIS corpus so the driver tracks a workload-shaped number."""
+    measures THIS corpus so the driver tracks a workload-shaped number.
+
+    letters=True draws identifiers from random letters instead of a
+    syllable grammar: syllable words share substrings so heavily that
+    the whole 8 MB corpus carries only ~26k distinct allowed substrings
+    — a >=262k-vocab config needs the random-letter diversity."""
     rng = np.random.default_rng(0)
     keywords = [
         "def", "return", "value", "data", "self", "import", "print",
@@ -76,9 +82,13 @@ def build_corpus(nbytes: int, realistic: bool = False):
                  "va", "be", "so", "ne", "pa", "gen", "st", "qu", "ix"]
     pool = list(keywords)
     seen = set(pool)
-    while len(pool) < 3000:
-        w = "".join(syllables[i] for i in
-                    rng.integers(0, len(syllables), rng.integers(2, 5)))
+    while len(pool) < pool_size:
+        if letters:
+            w = "".join(chr(97 + int(c)) for c in
+                        rng.integers(0, 26, rng.integers(3, 11)))
+        else:
+            w = "".join(syllables[i] for i in
+                        rng.integers(0, len(syllables), rng.integers(2, 5)))
         if w not in seen:
             seen.add(w)
             pool.append(w)
@@ -194,6 +204,22 @@ def main():
         f"viterbi ({vit_backend})",
         lambda: lj.viterbi(dt, batch, C=Cc, unroll=8, backend=vit_backend))
 
+    if os.environ.get("TGX_TRACE") == "1":
+        # SURVEY section 5 / VERDICT r4 item 9: one profiler capture of
+        # a steady Viterbi pass so kernel-level claims carry a trace.
+        # Guarded: the axon relay backend may not support device
+        # tracing, in which case the host-side trace still records
+        # dispatch structure.
+        trace_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "data", "bench", "trace_r5")
+        try:
+            with jax.profiler.trace(trace_dir):
+                sync(lj.viterbi(dt, batch, C=Cc, unroll=8,
+                                backend=vit_backend))
+            log(f"profiler trace written to {trace_dir}")
+        except Exception as e:  # noqa: BLE001 — best-effort telemetry
+            log(f"profiler trace unavailable: {e!r}")
+
     em_rate = None
     if os.environ.get("TGX_BENCH_EM", "1") == "1":
         # EM sub-iteration at session steady state: the probe/seg
@@ -220,29 +246,26 @@ def main():
                                         seg=seg, C=Cc, backend=kernel))
         log(f"estep: {1e9/em_rate:.1f} s/GB per EM sub-iteration")
 
-    # -- Recipe config: vocab 32k, L=16, realistic hit rate ------------------
-    # (VERDICT r4 item 3: the driver must track the number the recipe
-    # pays, not only the fused small-vocab config.) Measures the
-    # recipe's STEADY prune-loop path at a vocabulary past the vscan
-    # boundary: bucket probe once per session -> dense-rank remap ->
-    # per-pass rank-table regathers + segsum counts — plus the fresh
-    # one-shot encode (inline bucket probe) for the inference path.
-    extra = {}
-    v2 = int(os.environ.get("TGX_BENCH_VOCAB2", "32768"))
-    if v2:
-        samples2 = build_corpus(int(corpus_mb * 1e6), realistic=True)
+    # -- Recipe configs: vocab 32k / 262k, L=16, realistic hit rate ----------
+    # (VERDICT r4 items 1+3: the driver must track the numbers the
+    # recipe pays — its vocab sizes sit past the vscan boundary.)
+    # Measures the recipe's STEADY prune-loop path: bucket probe once
+    # per session -> dense-rank remap -> per-pass rank-table regathers
+    # + segsum counts — plus the fresh one-shot encode (inline bucket
+    # probe) for the inference path.
+    def recipe_config(tag, vocab_target, pool_size, letters):
+        samples2 = build_corpus(int(corpus_mb * 1e6), realistic=True,
+                                pool_size=pool_size, letters=letters)
         total2 = sum(map(len, samples2))
         gen2 = VocabularyGenerator(max_token_length=16,
                                    insert_probability=1.0,
                                    allow=r"^ ?[a-z]+$", seed=0)
-        # ~1 MB of feed: 50 samples (~100 KB) max out near ~10k
-        # distinct allowed substrings — too few to fill 32k.
-        gen2.feed([s.decode() for s in samples2[:500]])
-        vocab2 = gen2.generate(v2)
+        gen2.feed([s.decode() for s in samples2])
+        vocab2 = gen2.generate(vocab_target)
         model2 = Model(vocab2)
         tbl2 = TokenTable.build(model2.vocab)
         dt2 = lj.DeviceTables.from_table(tbl2, dtype=jnp.float32)
-        log(f"recipe config: vocab {len(vocab2)} (bits={tbl2.bits}, "
+        log(f"recipe config {tag}: vocab {len(vocab2)} (bits={tbl2.bits}, "
             f"vscan={lj.has_vscan(dt2)}), L={dt2.max_len}, "
             f"{total2/1e6:.1f}MB realistic corpus")
         packed2 = pack_samples(samples2, width=width, max_snippet=width,
@@ -263,7 +286,7 @@ def main():
             log(f"{name}: steady {best:.3f}s -> {total/best/1e6:.1f} MB/s")
             return total / best
 
-        enc2 = t2("viterbi 32k (fresh bucket probe)",
+        enc2 = t2(f"viterbi {tag} (fresh bucket probe)",
                   lambda: lj.viterbi(dt2, batch2, C=Cc, unroll=8,
                                      backend=kernel))
         t0 = time.time()
@@ -272,33 +295,43 @@ def main():
         rank2 = lj.build_rank_space(tbl2)
         slots2 = lj.remap_slots(jnp.asarray(rank2.lut), slots2)
         sync(slots2)
-        log(f"32k session probe + rank remap (once): "
+        log(f"{tag} session probe + rank remap (once): "
             f"{time.time()-t0:.1f}s")
         hit = float(jnp.mean((slots2 < rank2.n_pad).astype(jnp.float32)))
-        log(f"32k probe hit rate: {hit:.3f} of (pos, len) pairs")
+        log(f"{tag} probe hit rate: {hit:.3f} of (pos, len) pairs")
         t0 = time.time()
         seg2 = lj.build_seg_struct(slots2, rank2.n_pad)
         sync(seg2.perm)
         seg_build_s = time.time() - t0
-        log(f"32k seg struct build (once): {seg_build_s:.1f}s "
+        log(f"{tag} seg struct build (once): {seg_build_s:.1f}s "
             f"({seg2.nbytes()/1e6:.0f} MB)")
         rank_rows2 = jnp.asarray(lj.rank_score_rows(rank2, tbl2))
-        vit2 = t2("viterbi 32k (cached ranks: recipe freq pass)",
+        vit2 = t2(f"viterbi {tag} (cached ranks: recipe freq pass)",
                   lambda: lj.viterbi_cached(dt2, batch2, slots2,
                                             rank_rows2, C=Cc,
                                             backend=kernel))
-        em2 = t2("estep 32k (cached ranks + segsum)",
+        em2 = t2(f"estep {tag} (cached ranks + segsum)",
                  lambda: lj.estep_cached(dt2, batch2, slots2, rank_rows2,
                                          seg=seg2, C=Cc, backend=kernel))
-        extra = {
-            "encode_32k_bytes_per_s": round(enc2, 1),
-            "viterbi_32k_bytes_per_s": round(vit2, 1),
-            "em_32k_bytes_per_s": round(em2, 1),
-            "em_32k_s_per_gb": round(1e9 / em2, 1),
-            "hit_rate_32k": round(hit, 4),
-            "seg_build_32k_s": round(seg_build_s, 2),
-            "vocab_32k": len(vocab2),
+        return {
+            f"encode_{tag}_bytes_per_s": round(enc2, 1),
+            f"viterbi_{tag}_bytes_per_s": round(vit2, 1),
+            f"em_{tag}_bytes_per_s": round(em2, 1),
+            f"em_{tag}_s_per_gb": round(1e9 / em2, 1),
+            f"hit_rate_{tag}": round(hit, 4),
+            f"seg_build_{tag}_s": round(seg_build_s, 2),
+            f"vocab_{tag}": len(vocab2),
         }
+
+    extra = {}
+    v2 = int(os.environ.get("TGX_BENCH_VOCAB2", "32768"))
+    if v2:
+        extra.update(recipe_config("32k", v2, pool_size=3000,
+                                   letters=False))
+    v3 = int(os.environ.get("TGX_BENCH_VOCAB3", "262144"))
+    if v3:
+        extra.update(recipe_config("262k", v3, pool_size=120_000,
+                                   letters=True))
 
     vs = (dev_rate / nat_rate) if nat_rate else 0.0
     # gather_roofline_x: achieved multiple of the ROUND-3 pure-gather

@@ -740,15 +740,21 @@ def dropout_keep_mask(drop_u: jax.Array, dropout: float, L: int, pad: int,
 @functools.partial(jax.jit, static_argnames=("dtype", "C"))
 def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
                      dtype=jnp.float32, C: int = 512) -> jax.Array:
-    """Re-gather current scores for a cached (B, L, W) slot array (one
-    row gather per element; see DeviceTables docs for why rows).
+    """Re-gather current scores for a cached (B, L, W) slot/rank array
+    (one row gather per element; see DeviceTables docs for why rows).
 
-    Chunked over W: a full-width (..., 2) gather output picks up a
-    (8, 128)-tiled layout that pads the minor dim 2 -> 128 (64x memory)
-    when XLA fails to fuse it into its consumers; inside a scan body
-    the gather+slice+bitcast fuse per chunk."""
+    Packed x16 layouts (rank_score_rows) gather the 16-word row at
+    slot >> 4 and resolve the word with a sequential select chain —
+    the same trick as the bucket probe — keeping the gathered table
+    under the v5e row-count cliff at any vocabulary size.
+
+    Chunked over W: a full-width gather output picks up a (8, 128)-
+    tiled layout that pads the minor dim to 128 when XLA fails to fuse
+    it into its consumers; inside a scan body the gather+slice+bitcast
+    fuse per chunk."""
     B, L, W = slots.shape
     neg = jnp.asarray(NEG_INF, dtype)
+    packed = slot_score_rows.shape[1] == 16
 
     def norm(s):
         # Same normalization as _match_slab: empty/rebind-removed slots
@@ -757,16 +763,27 @@ def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
         # and Viterbi backtracks garbage (ADVICE r2 medium).
         return jnp.where(s <= -1.0e38, neg, s)
 
-    if W % C != 0 or W <= C:
-        r = jnp.take(slot_score_rows, slots, axis=0)
+    def lookup(sl):
+        if not packed:
+            r = jnp.take(slot_score_rows, sl, axis=0)
+            return norm(jax.lax.bitcast_convert_type(
+                r[..., 0], jnp.float32).astype(dtype))
+        sl = sl.astype(jnp.int32)
+        row = jax.lax.shift_right_logical(sl, jnp.int32(4))
+        col = sl & jnp.int32(15)
+        r = jnp.take(slot_score_rows, row, axis=0)  # (..., 16)
+        bits = r[..., 15]
+        for k in range(15):
+            bits = jnp.where(col == jnp.int32(k), r[..., k], bits)
         return norm(jax.lax.bitcast_convert_type(
-            r[..., 0], jnp.float32).astype(dtype))
+            bits, jnp.float32).astype(dtype))
+
+    if W % C != 0 or W <= C:
+        return lookup(slots)
 
     def body(out, i):
         sl = jax.lax.dynamic_slice(slots, (0, 0, i * C), (B, L, C))
-        r = jnp.take(slot_score_rows, sl, axis=0)
-        s = norm(jax.lax.bitcast_convert_type(
-            r[..., 0], jnp.float32).astype(dtype))
+        s = lookup(sl)
         # In-place carry update (see match_cache): one output buffer
         # instead of stack+transpose's three.
         return jax.lax.dynamic_update_slice(out, s, (0, 0, i * C)), None
@@ -1357,8 +1374,7 @@ def _op_worker(dt_arrs, batch_arrs, cache, drop_u, carry, A, Bt, seg,
             # remapped its cached slots).
             exp = _backward_expected_impl(tbl, batch, A, C, unroll, dtype,
                                           drop_u, dropout, backend, probe,
-                                          cch,
-                                          int(slot_rows.shape[0]) - 1)
+                                          cch, rows_nbins(slot_rows))
         return A, exp
     if op == "viterbi_freq":
         return _viterbi_freq_impl(tbl, batch, A, Bt, cache, C, unroll,
@@ -1825,7 +1841,7 @@ def build_rank_space(tbl: TokenTable) -> RankSpace:
     nbins = 8 * (1 << tbl.bk_bits)
     occ = np.nonzero(tbl.bk_ids >= 0)[0]
     n = int(occ.size)
-    n_pad = max(8, 1 << (max(n, 1) - 1).bit_length())
+    n_pad = max(16, 1 << (max(n, 1) - 1).bit_length())
     lut = np.full(nbins + 1, n_pad, dtype=np.int32)
     lut[occ] = np.arange(n, dtype=np.int32)
     return RankSpace(lut=lut, occ=occ, n_pad=n_pad)
@@ -1835,14 +1851,37 @@ _NEG_BITS_NP = np.array([NEG_INF], np.float32).view(np.int32)[0]
 
 
 def rank_score_rows(rank: RankSpace, tbl: TokenTable) -> np.ndarray:
-    """(n_pad + 1, 2) int32 rank-indexed score rows for the CURRENT
-    binding (drop-in for slot_score_rows + remapped slots). Removed
-    tokens' slots carry the empty sentinel (<= -1e38), which
+    """(n_pad/16 + 1, 16) int32 PACKED rank-indexed score rows for the
+    CURRENT binding: rank r's f32 score bits sit at row r >> 4, word
+    r & 15; the trailing row is the all-miss sentinel (rank == n_pad
+    reads it). 16 scores per gathered row because the v5e gather issue
+    rate is a function of table ROW COUNT, not bytes: ~0.154 G rows/s
+    up to ~128k rows at any width, ~0.13 beyond, with a 2x pathological
+    dip near ~250k rows (measured, round 5) — exactly where a flat
+    (262k, 2) table for the recipe's 262k vocab lands. Packed, even a
+    1M-rank table stays under 64k rows and gathers at the fast rate.
+    Removed tokens' slots carry the empty sentinel (<= -1e38), which
     score_from_slots normalizes to -inf exactly like the slot path."""
     flat = tbl.bk[:, 1::2].reshape(-1)  # int32 f32-score bits per slot
-    col = np.full(rank.n_pad + 1, _NEG_BITS_NP, dtype=np.int32)
+    col = np.full(rank.n_pad + 16, _NEG_BITS_NP, dtype=np.int32)
     col[: rank.occ.size] = flat[rank.occ]
-    return np.stack([col, np.zeros_like(col)], axis=1)
+    return col.reshape(-1, 16)
+
+
+def rows_nbins(slot_rows) -> int:
+    """Bin count encoded by a score-row array: packed x16 rank rows
+    carry 16 bins per row (one sentinel row), legacy (nbins + 1, 2)
+    slot rows carry one."""
+    if slot_rows.shape[1] == 16:
+        return (int(slot_rows.shape[0]) - 1) * 16
+    return int(slot_rows.shape[0]) - 1
+
+
+def _score_flat(slot_rows, nbins):
+    """(nbins,) int32 f32-score bits per bin from either layout."""
+    if slot_rows.shape[1] == 16:
+        return slot_rows[:-1].reshape(-1)[:nbins]
+    return slot_rows[:nbins, 0]
 
 
 def rank_to_ids(rank: RankSpace, tbl: TokenTable) -> np.ndarray:
@@ -2140,9 +2179,9 @@ def _segsum_expected_impl(
     W = batch.width
     L = tbl.max_len
     # Bin space = whatever slot_rows indexes: the raw probe slot space
-    # (slot_score_rows) or the session's dense rank space
+    # (slot_score_rows) or the session's packed dense rank space
     # (rank_score_rows) — both carry one trailing miss row.
-    nbins = slot_rows.shape[0] - 1
+    nbins = rows_nbins(slot_rows)
     BW = B * W
 
     Z = jnp.take_along_axis(A, batch.end_index, axis=1)  # (B, W)
@@ -2171,7 +2210,8 @@ def _segsum_expected_impl(
     # -3e38 sentinel, which would wreck the telescoping cumsum below
     # (their own weights become exp(x - 200) = 0 regardless).
     sc = jnp.maximum(jax.lax.bitcast_convert_type(
-        slot_rows[:nbins, 0], jnp.float32).astype(dtype), -200.0)
+        _score_flat(slot_rows, nbins), jnp.float32).astype(dtype),
+        -200.0)
     sc_pad = jnp.concatenate([sc, jnp.zeros((1,), dtype)])
 
     # The exp + miss-mask + in-block cumsums (score expansion included)
