@@ -1851,18 +1851,27 @@ _NEG_BITS_NP = np.array([NEG_INF], np.float32).view(np.int32)[0]
 
 
 def rank_score_rows(rank: RankSpace, tbl: TokenTable) -> np.ndarray:
-    """(n_pad/16 + 1, 16) int32 PACKED rank-indexed score rows for the
-    CURRENT binding: rank r's f32 score bits sit at row r >> 4, word
-    r & 15; the trailing row is the all-miss sentinel (rank == n_pad
-    reads it). 16 scores per gathered row because the v5e gather issue
-    rate is a function of table ROW COUNT, not bytes: ~0.154 G rows/s
-    up to ~128k rows at any width, ~0.13 beyond, with a 2x pathological
-    dip near ~250k rows (measured, round 5) — exactly where a flat
-    (262k, 2) table for the recipe's 262k vocab lands. Packed, even a
-    1M-rank table stays under 64k rows and gathers at the fast rate.
-    Removed tokens' slots carry the empty sentinel (<= -1e38), which
-    score_from_slots normalizes to -inf exactly like the slot path."""
+    """Rank-indexed score rows for the CURRENT binding, in the layout
+    the v5e gather engine likes for this size. The gather issue rate is
+    a function of table ROW COUNT, not bytes (measured, round 5):
+    ~0.154 G rows/s up to ~128k rows at any width, ~0.13 beyond, with a
+    2x pathological dip near ~250k rows — exactly where a flat
+    (262k, 2) table for the recipe's 262k vocab lands. So:
+
+      n_pad <= 2^17: flat (n_pad + 1, 2) rows [score bits, 0] — already
+          under the row-count cliff, no select chain needed;
+      n_pad  > 2^17: PACKED (n_pad/16 + 1, 16): rank r's f32 score bits
+          at row r >> 4, word r & 15, resolved by a bucket-probe-style
+          select chain — even a 1M-rank table stays under 64k rows.
+
+    The trailing row is the all-miss sentinel (rank == n_pad reads
+    it). Removed tokens' slots carry the empty sentinel (<= -1e38),
+    which score_from_slots normalizes to -inf like the slot path."""
     flat = tbl.bk[:, 1::2].reshape(-1)  # int32 f32-score bits per slot
+    if rank.n_pad <= (1 << 17):
+        col = np.full(rank.n_pad + 1, _NEG_BITS_NP, dtype=np.int32)
+        col[: rank.occ.size] = flat[rank.occ]
+        return np.stack([col, np.zeros_like(col)], axis=1)
     col = np.full(rank.n_pad + 16, _NEG_BITS_NP, dtype=np.int32)
     col[: rank.occ.size] = flat[rank.occ]
     return col.reshape(-1, 16)
@@ -2036,12 +2045,63 @@ def _seg_compact_one(pre, end, present, OC, cap, nbins):
     return occ, jnp.take(pre_p, occ), jnp.take(end_p, occ)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _seg_sort_counts(slots, nbins):
+    """Phase 1 of the batched seg build: sort EVERY length plane in one
+    dispatch. Returns (perm, srt, ss, present, n_hit, n_occ) with a
+    leading length axis; the caller syncs only the (2L,) counts."""
+    B, L, W = slots.shape
+    flat = jnp.transpose(slots, (1, 0, 2)).reshape(L, B * W)
+    perm = jnp.argsort(flat, axis=1).astype(jnp.int32)
+    srt = jnp.take_along_axis(flat, perm, axis=1)
+    grid = jnp.arange(nbins + 1, dtype=srt.dtype)
+    ss = jax.vmap(lambda s: jnp.searchsorted(s, grid))(srt)
+    present = ss[:, 1:] > ss[:, :-1]
+    n_hit = ss[:, nbins].astype(jnp.int32)
+    n_occ = jnp.sum(present, axis=1, dtype=jnp.int32)
+    return perm, srt, ss, present, n_hit, n_occ
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "OC", "nbins"))
+def _seg_compact_all(perm, srt, ss, present, n_hit, *, caps, OC, nbins):
+    """Phase 2: per-length truncation to the (static) pow2 capacities +
+    occ-domain compaction, all lengths in one dispatch. Semantics match
+    the historical per-length _seg_sort_one/_seg_compact_one pair: pad
+    entries read the per-length cap sentinel (the zero pad cell)."""
+    L = perm.shape[0]
+    perm_t, blk_t, occ2, pres2, ends2 = [], [], [], [], []
+    for l0 in range(L):
+        cap = caps[l0]
+        # Real sorted indices are < n_hit <= cap, so the cap sentinel
+        # only ever marks absent slots / the sorter's miss tail.
+        pre = jnp.where(present[l0] & (ss[l0, :-1] > 0),
+                        jnp.minimum(ss[l0, :-1] - 1, cap),
+                        cap).astype(jnp.int32)
+        end = jnp.where(present[l0], jnp.minimum(ss[l0, 1:] - 1, cap),
+                        cap).astype(jnp.int32)
+        occ = jnp.nonzero(present[l0], size=OC,
+                          fill_value=nbins)[0].astype(jnp.int32)
+        sent = jnp.full((1,), cap, jnp.int32)
+        pre_p = jnp.concatenate([pre, sent])
+        end_p = jnp.concatenate([end, sent])
+        occ2.append(occ)
+        pres2.append(jnp.take(pre_p, occ))
+        ends2.append(jnp.take(end_p, occ))
+        perm_t.append(perm[l0, :cap])
+        blk_t.append(jnp.minimum(srt[l0, :cap:SEG_BLK],
+                                 jnp.int32(nbins)).astype(jnp.int32))
+    return (tuple(perm_t), jnp.stack(pres2), jnp.stack(ends2),
+            n_hit, jnp.stack(occ2), tuple(blk_t))
+
+
 def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
     """Sort each length-plane of a cached (B, L, W) slot array by slot
-    (device-side; one argsort per length, amortized over every later
-    E-step pass of the session).
+    (device-side, amortized over every later E-step pass of the
+    session). All L sorts run in ONE dispatch and the compaction in a
+    second (the round-4 build issued 3 dispatches per length plus a
+    sync, which through a remote relay dominated the build).
 
-    The sorted hit lists are then COMPACTED: misses sort to the tail
+    The sorted hit lists are COMPACTED: misses sort to the tail
     (sentinel slot == nbins), so rows are truncated to a power-of-two
     capacity >= the largest per-length hit count. Typically 10-30% of
     (pos, len) pairs match, so this cuts both the per-pass gather
@@ -2049,35 +2109,16 @@ def build_seg_struct(slots: jax.Array, nbins: int) -> SegStruct:
     quantized so at most a couple of shapes ever compile."""
     B, L, W = slots.shape
     BW = B * W
-    perms, pres, ends, nhits, prsnt, blks = [], [], [], [], [], []
-    for l0 in range(L):
-        p, b, e, n, pv, bs = _seg_sort_one(slots[:, l0, :].reshape(-1),
-                                           nbins)
-        perms.append(p)
-        pres.append(b)
-        ends.append(e)
-        nhits.append(n)
-        prsnt.append(pv)
-        blks.append(bs)
-    noccs = [jnp.sum(pv, dtype=jnp.int32) for pv in prsnt]
-    # host sync, per build: per-length hit counts + occupancy counts
+    perm, srt, ss, present, n_hit, n_occ = _seg_sort_counts(slots, nbins)
+    # host sync, once per build: per-length hit + occupancy counts
     counts = [int(x) for x in
-              jax.device_get(jnp.stack(nhits + noccs))]
+              jax.device_get(jnp.concatenate([n_hit, n_occ]))]
     n_hit_host, n_occ_host = counts[:L], counts[L:]
-    caps = [min(seg_cap(h), BW) for h in n_hit_host]
+    caps = tuple(min(seg_cap(h), BW) for h in n_hit_host)
     OC = max(8, 1 << (max(max(n_occ_host), 1) - 1).bit_length())
-    perm_t, blk_t, occ2, pres2, ends2 = [], [], [], [], []
-    for l0 in range(L):
-        cap = caps[l0]
-        perm_t.append(perms[l0][:cap])
-        blk_t.append(blks[l0][: cap // SEG_BLK])
-        o, b, e = _seg_compact_one(pres[l0], ends[l0], prsnt[l0],
-                                   OC, cap, nbins)
-        occ2.append(o)
-        pres2.append(b)
-        ends2.append(e)
-    return SegStruct(tuple(perm_t), jnp.stack(pres2), jnp.stack(ends2),
-                     jnp.stack(nhits), jnp.stack(occ2), tuple(blk_t))
+    out = _seg_compact_all(perm, srt, ss, present, n_hit,
+                           caps=caps, OC=OC, nbins=nbins)
+    return SegStruct(*out)
 
 
 def _interval_sums(w: jax.Array, pre_pos: jax.Array,
