@@ -79,11 +79,13 @@ class Tokenizer:
         par_iter over texts).
 
         backend="device" runs the Viterbi segmentation of all ordinary
-        spans as one packed TPU batch; "auto"/"native" gather every
-        ordinary span across the batch and feed the threaded C++
-        runtime's batch encode (pthread pool) in one call, so host
-        batches parallelize like the reference's rayon path instead of
-        a serial Python loop.
+        spans as one packed TPU batch; "native" gathers every ordinary
+        span across the batch and feeds the threaded C++ runtime's
+        batch encode (pthread pool) in one call, so host batches
+        parallelize like the reference's rayon path instead of a serial
+        Python loop. "auto" picks per measured crossover — device for
+        large batches at fused-probe (vscan) vocabulary sizes, host
+        otherwise (see _auto_backend).
         """
         return self._encode_batch_host(texts, ordinary=False,
                                        dropout=dropout, backend=backend)
@@ -130,12 +132,49 @@ class Tokenizer:
             out.append(ids)
         return out
 
+    def _auto_backend(self, spans: Sequence[str]) -> str:
+        """Measured host/device crossover (BENCH_r05 / BASELINE.md r5,
+        one v5e chip vs a 4-thread host):
+
+          - vocab <= ~16k (tables fit VMEM -> fused-probe kernels):
+            device sustains ~80 MB/s vs ~27-45 MB/s native host — the
+            device wins once the batch amortizes its ~0.3-1 s dispatch
+            + packing overhead (>= TGX_ENCODE_DEVICE_MIN, default 4 MB,
+            i.e. overhead <= ~20% at the measured rates);
+          - past the vscan boundary the device bucket probe (~22 MB/s
+            at 32k vocab, ~11 at 262k) LOSES to the native host path:
+            stay host;
+          - without the native runtime the host fallback is the Python
+            oracle (~0.2 MB/s): any TPU batch over ~64 KB wins.
+        """
+        import os
+
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # noqa: BLE001 — no usable device backend
+            return "native"
+        if not on_tpu:
+            return "native"
+        from ..ops.lattice_jax import vscan_max_bits
+
+        if self.model.vocab_size() > (1 << (vscan_max_bits() - 1)):
+            return "native"
+        total = sum(len(s) for s in spans)
+        floor = int(os.environ.get("TGX_ENCODE_DEVICE_MIN", 4 << 20))
+        if self.model.native() is None:
+            floor = min(floor, 64 << 10)
+        return "device" if total >= floor else "native"
+
     def _encode_batch_host(self, texts: Sequence[str], ordinary: bool,
                            dropout: float, backend: str) -> List[List[int]]:
+        layout, spans = self._layout_spans(texts, ordinary)
+        if backend == "auto":
+            backend = self._auto_backend(spans)
         if backend == "device":
             return self._encode_batch_device(texts, ordinary=ordinary,
                                              dropout=dropout)
-        layout, spans = self._layout_spans(texts, ordinary)
         encoded = self.model.encode_batch(spans, dropout)
         return self._stitch(layout, encoded)
 
