@@ -258,7 +258,43 @@ def test_score_from_slots_normalizes_removed_slots():
     np.testing.assert_array_equal(got, np.asarray(want))
     # No finite sentinel survives.
     assert not np.any((got <= -1.0e37) & np.isfinite(got))
-    # And both the chunked (W % C == 0, W > C) and small-W paths agree.
+    # C is layout-neutral (chunking is flat-budgeted; see
+    # test_score_from_slots_flat_budget_chunking for the chunked path).
     got_small = np.asarray(lj.score_from_slots(
         lj.slot_score_rows(dt2), slots, jnp.float32, C=8))
     np.testing.assert_array_equal(got_small, got)
+
+
+def test_score_from_slots_flat_budget_chunking():
+    # Round 5: score_from_slots chunks over a FLAT view with a hard
+    # element budget (2^19) so the row gather's UNFUSED output — minor
+    # dim padded to 128, 512 B/element — can never exceed ~256 MB. The
+    # former (B, L, C) chunking scaled with B*L and compiled a 16 GB
+    # HLO temp at the 1 GB-recipe shapes (W=1024 pack -> B=4096
+    # groups), an HBM OOM at compile time. Cross the budget with a
+    # non-multiple total and check both row layouts bit-for-bit.
+    rng = np.random.default_rng(5)
+    B, L, W = 9, 16, 4096  # 589,824 elements: > 2^19, not a multiple
+    assert B * L * W > (1 << 19) and (B * L * W) % (1 << 19) != 0
+
+    # Packed x16 layout: rank r -> row r >> 4, word r & 15.
+    nranks = 480
+    bits = rng.integers(-(2**31), 2**31 - 1, nranks + 16, dtype=np.int32)
+    packed_rows = bits.reshape(-1, 16).copy()
+    slots = rng.integers(0, nranks + 1, (B, L, W), dtype=np.int32)
+    got = np.asarray(lj.score_from_slots(jnp.asarray(packed_rows),
+                                         jnp.asarray(slots), jnp.float32))
+    want = bits[slots.reshape(-1)].view(np.float32).astype(np.float32)
+    want = np.where(want <= -1.0e38, np.float32("-inf"), want)
+    np.testing.assert_array_equal(got.reshape(-1), want)
+
+    # Flat (nslots + 1, 2) layout over the same slot array.
+    flat_rows = np.stack([bits[: nranks + 1],
+                          np.zeros(nranks + 1, np.int32)], axis=1)
+    got_flat = np.asarray(lj.score_from_slots(jnp.asarray(flat_rows),
+                                              jnp.asarray(slots),
+                                              jnp.float32))
+    want_flat = bits[: nranks + 1][slots.reshape(-1)].view(np.float32)
+    want_flat = np.where(want_flat <= -1.0e38, np.float32("-inf"),
+                         want_flat).astype(np.float32)
+    np.testing.assert_array_equal(got_flat.reshape(-1), want_flat)

@@ -748,10 +748,15 @@ def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
     the same trick as the bucket probe — keeping the gathered table
     under the v5e row-count cliff at any vocabulary size.
 
-    Chunked over W: a full-width gather output picks up a (8, 128)-
-    tiled layout that pads the minor dim to 128 when XLA fails to fuse
-    it into its consumers; inside a scan body the gather+slice+bitcast
-    fuse per chunk."""
+    Chunked over a FLAT view of the slot array with a hard per-chunk
+    element budget: a gather of narrow rows (x2 or x16) picks up a
+    (8, 128)-tiled output layout that pads the minor dim to 128 — 512 B
+    per element — whenever XLA declines to fuse it into its consumers,
+    and whether it fuses depends on the surrounding graph (observed
+    unfused in the 1 GB-recipe _op_worker at B=4096, W=1024: a 16 GB
+    HLO temp, compile-time HBM OOM). Budgeting for the UNFUSED worst
+    case keeps the temp <=256 MB at any (B, L, W); the former (B, L, C)
+    chunking scaled with B*L and only bounded W."""
     B, L, W = slots.shape
     neg = jnp.asarray(NEG_INF, dtype)
     packed = slot_score_rows.shape[1] == 16
@@ -778,19 +783,26 @@ def score_from_slots(slot_score_rows: jax.Array, slots: jax.Array,
         return norm(jax.lax.bitcast_convert_type(
             bits, jnp.float32).astype(dtype))
 
-    if W % C != 0 or W <= C:
+    # 2^19 elements x 512 B padded worst case = 256 MB chunk temp.
+    N = 1 << 19
+    total = B * L * W
+    if total <= N:
         return lookup(slots)
+    flat = slots.reshape(-1)
+    rem = (-total) % N
+    if rem:  # pad with slot 0 (always a valid row; result discarded)
+        flat = jnp.concatenate([flat, jnp.zeros((rem,), flat.dtype)])
 
     def body(out, i):
-        sl = jax.lax.dynamic_slice(slots, (0, 0, i * C), (B, L, C))
+        sl = jax.lax.dynamic_slice(flat, (i * N,), (N,))
         s = lookup(sl)
         # In-place carry update (see match_cache): one output buffer
         # instead of stack+transpose's three.
-        return jax.lax.dynamic_update_slice(out, s, (0, 0, i * C)), None
+        return jax.lax.dynamic_update_slice(out, s, (i * N,)), None
 
-    out, _ = jax.lax.scan(body, jnp.zeros((B, L, W), dtype=dtype),
-                          jnp.arange(W // C))
-    return out
+    out, _ = jax.lax.scan(body, jnp.zeros(flat.shape, dtype=dtype),
+                          jnp.arange(flat.shape[0] // N))
+    return out[:total].reshape(B, L, W)
 
 
 def slot_score_rows(tbl: DeviceTables) -> jax.Array:
