@@ -89,6 +89,22 @@ class DeviceTrainSession:
                 ed._pick_width(samples, self.max_snippet))
         else:
             self.width = ed._pick_width(samples, self.max_snippet)
+        # Pack WIDE even when snippets are short: every kernel in this
+        # file was tuned and bench-validated at W=8192 row shapes
+        # (BASELINE.md rounds 2-5); the narrow W=1024 pack the f32
+        # snippet cap would produce runs the same corpus 5-7x slower
+        # per E-step (measured at the 1 GB-recipe shapes, round 5:
+        # 1.7 vs 11.4 MB/s dropout-free) and compiled a 16 GB regather
+        # temp. Multiple snippets pack per row (pack_samples best-fit),
+        # so the floor costs nothing but row-boundary padding; applied
+        # only when the corpus actually fills such rows.
+        target = int(os.environ.get("TGX_PACK_WIDTH", 8192))
+        if target > self.width:
+            nbytes = sum(len(s) for s in samples)
+            if self.local_shard:
+                nbytes = pmesh.allgather_max(nbytes)
+            if nbytes >= target * 128:
+                self.width = target
         self.packed = pack_samples(samples, width=self.width,
                                    max_snippet=self.max_snippet)
         self.n_dev = len(jax.devices())
