@@ -35,9 +35,14 @@ python -m tokengeex_tpu.cli generate -v "$GEN" -o "$OUT/v-gen.json" \
 fi
 echo "STAGE generate s=$SECONDS"
 
+# em-subiters 1 is the reference CLI default (src/cli.rs:699); the
+# committed recipes use 2 (docs/RECIPES.md) — 1 halves device EM wall-
+# clock at this corpus size. The Viterbi frequency + merge count passes
+# route to the threaded C++ counters via their measured-crossover auto
+# gates (train/prune.py _count_frequencies, train/merge.py _count_pairs).
 SECONDS=0
 python -m tokengeex_tpu.cli prune -i "$OUT/v-gen.json" -o "$OUT/v-pruned.json" \
-  -v "$TARGET" --dropout 0.05 --shrink-factor 0.8 --em-subiters 2 \
+  -v "$TARGET" --dropout 0.05 --shrink-factor 0.8 --em-subiters "${EM_SUBITERS:-1}" \
   --backend device --checkpoint-every 1 "${TRAINS[@]}"
 echo "STAGE prune s=$SECONDS"
 
@@ -50,6 +55,6 @@ SECONDS=0
 python -m tokengeex_tpu.cli merge -i "$OUT/v-filtered.json" \
   -o "$OUT/v-final.json" --allow "$OUT/fine.regex" --num-merges 2000 \
   --step 100 --scale-factor 0.9 --max-token-length 20 \
-  --backend device "${TRAINS[@]}"
+  --backend auto "${TRAINS[@]}"
 echo "STAGE merge s=$SECONDS"
 echo "DONE"

@@ -116,13 +116,24 @@ class VocabularyMerger:
         """Sorted [(pair, freq)] desc (reference: src/merge.rs:53-84)."""
         backend = self.backend
         if backend == "auto":
-            try:
-                import jax
+            # Measured crossover (round 5, single chip through the
+            # relay): the threaded C++ pair counter sustains
+            # 19-50 MB/s on 4 host cores while the single-chip device
+            # count pass runs ~1 MB/s at recipe vocab sizes — encode-
+            # bound passes only beat the host when data-parallel chips
+            # multiply them (parallel/mesh.py), so auto prefers NATIVE
+            # when the C++ library loads and falls back to the device
+            # only without it.
+            if model.native() is not None:
+                backend = "native"
+            else:
+                try:
+                    import jax
 
-                if any(d.platform != "cpu" for d in jax.devices()):
-                    backend = "device"
-            except Exception:
-                pass
+                    if any(d.platform != "cpu" for d in jax.devices()):
+                        backend = "device"
+                except Exception:
+                    pass
         if backend == "device":
             from .estep_device import DeviceCorpus, count_pairs_device
 

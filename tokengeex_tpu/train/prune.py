@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 from typing import List, Sequence
 
 import numpy as np
@@ -397,6 +398,22 @@ class VocabularyPruner:
 
     def _count_frequencies(self, model: Model, samples, task) -> np.ndarray:
         backend = self._pick_backend(model)
+        if backend == "device" and not self.corpus_sharded \
+                and os.environ.get("TGX_FREQ_BACKEND", "auto") == "auto" \
+                and model.native() is not None:
+            # Measured crossover (round 5, 134 MB recipe corpus, 249k
+            # vocab): the threaded C++ Viterbi counter sustains
+            # ~30 MB/s on 4 host cores while the device freq pass —
+            # whole-sample W=32768 packing, per-pass re-probe — runs
+            # 0.9 MB/s through the relay. The host counter also moves
+            # zero bytes over the device link, so under the device
+            # backend the freq pass defaults to NATIVE whenever the
+            # C++ library loads; TGX_FREQ_BACKEND=device forces the
+            # on-chip pass (multi-process sharded runs stay on device:
+            # their counts psum on the mesh).
+            freqs = model.native().count_frequencies(samples)
+            task.record(sum(len(s) for s in samples), len(samples))
+            return freqs
         if backend == "device" and getattr(self, "_session", None) \
                 is not None:
             return self._session.count_frequencies(model, task)
