@@ -319,3 +319,64 @@ def test_merge_respects_allow_and_length():
     # no merges possible -> early stop
     for t in model.vocab[v0:]:
         assert False, f"unexpected merge {t}"
+
+
+def test_freq_pass_prefers_native_under_device_backend(monkeypatch):
+    # Round 5: measured crossover — the device freq pass at recipe
+    # shapes runs 0.9 MB/s vs ~30 MB/s for the threaded C++ counter
+    # (experiments/recipe_probe_r5.py), so under backend="device" the
+    # frequency pass routes to native when the library loads, and
+    # TGX_FREQ_BACKEND=device forces the chip path.
+    from tokengeex_tpu.train import prune as prune_mod
+
+    vocab = [ScoredToken(bytes([b]), -8.0) for b in b"ab"] + \
+        [ScoredToken(b"ab", -2.0)]
+    model = Model(vocab)
+    if model.native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    pruner = prune_mod.VocabularyPruner(
+        vocab_size=2, shrink_factor=0.8, em_subiters=1, dropout=0.0,
+        backend="device")
+
+    class _Task:
+        def record(self, *a):
+            pass
+
+    samples = [b"abab", b"ab"]
+    monkeypatch.delenv("TGX_FREQ_BACKEND", raising=False)
+    # No session and no real device: the native gate must fire before
+    # any device dispatch is attempted.
+    freqs = pruner._count_frequencies(model, samples, _Task())
+    assert freqs[model.token_to_id(b"ab")] == 3
+    # Forced device routing falls through the gate (and then to the
+    # device helpers, which on the CPU test backend still compute).
+    monkeypatch.setenv("TGX_FREQ_BACKEND", "device")
+    freqs2 = pruner._count_frequencies(model, samples, _Task())
+    assert np.array_equal(freqs, freqs2)
+
+
+def test_merge_auto_prefers_native():
+    from tokengeex_tpu.train.merge import VocabularyMerger as ModelVocabularyMerger
+
+    vocab = [ScoredToken(bytes([b]), -8.0) for b in b"ab"] + \
+        [ScoredToken(b"ab", -2.0)]
+    model = Model(vocab)
+    if model.native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    merger = ModelVocabularyMerger.__new__(ModelVocabularyMerger)
+    merger.backend = "auto"
+    merger._corpus = None
+
+    class _Task:
+        def record(self, *a):
+            pass
+
+    pairs = merger._count_pairs(model, [b"abab", b"abab"], _Task())
+    # (ab, ab) is the dominant adjacent pair under Viterbi encoding.
+    top_pair, top_freq = pairs[0]
+    tid = model.token_to_id(b"ab")
+    assert top_pair == (tid, tid) and top_freq == 2
